@@ -1,0 +1,55 @@
+"""b01 correctness: every variant vs the f64 oracle, plus golden norms from
+the committed reference logs (benchmark01/outfile.log)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tpu_bench.benchmarks import benchmark01 as b01
+from tpu_bench.ops import initdata
+from tpu_bench.utils import native
+
+# sqrt(sum x^2) values from /root/reference/benchmark01/outfile.log:5,9
+GOLDEN_NORMS = {1024: 231.3925755, 2048: 327.7035849, 4096: 464.5263377}
+
+
+@pytest.mark.parametrize("size", [1024, 4096])
+def test_variants_match_oracle(size, cfg64):
+    x_host = native.init_mod13(size)
+    expected = float(np.sqrt(np.sum(x_host * x_host)))
+    x = initdata.device_x(size, cfg64.dtype)
+    for v in b01.VARIANTS:
+        fn = v.build(None, cfg64)
+        got = math.sqrt(float(fn(x)))
+        assert got == pytest.approx(expected, rel=1e-12), v.label
+
+
+@pytest.mark.parametrize("size,norm", sorted(GOLDEN_NORMS.items()))
+def test_golden_norms(size, norm, cfg64):
+    x = initdata.device_x(size, cfg64.dtype)
+    fn = b01.VARIANTS[0].build(None, cfg64)
+    got = math.sqrt(float(fn(x)))
+    assert got == pytest.approx(norm, rel=1e-9)
+
+
+def test_f32_accuracy(cfg32):
+    size = 8192
+    x_host = native.init_mod13(size)
+    expected = float(np.sqrt(np.sum(x_host * x_host)))
+    x = initdata.device_x(size, cfg32.dtype)
+    for v in b01.VARIANTS:
+        fn = v.build(None, cfg32)
+        got = math.sqrt(float(fn(x)))
+        assert got == pytest.approx(expected, rel=1e-5), v.label
+
+
+def test_chained_timing_protocol(cfg32):
+    """The chained timer must produce a sane positive per-application time."""
+    from tpu_bench.core.timing import build_chain, time_chained
+
+    x = initdata.device_x(65536, cfg32.dtype)
+    fn = b01.VARIANTS[0].build(None, cfg32)
+    run_k = build_chain(fn)
+    t = time_chained(run_k, (x,), n_tests=8)
+    assert 0 < t < 1.0

@@ -1,0 +1,148 @@
+"""Benchmark 02 — streaming vector addition x += y (STREAM-add-like).
+
+Reference: benchmark02/benchmark02.cc (harness :73-260, sweep like b01).
+Five variants; GB/s counts 2 reads + 1 write: 3*sizeof(T)*1e-9*size/t
+(:255-259).  NOTE the reference's validation norm is computed AFTER the 40
+timed repetitions, i.e. it is ||x0 + 40*y|| (:161-164) — the validation pass
+here applies exactly cfg.n_tests accumulating additions to a fresh x so the
+printed norms stay comparable with the committed reference logs.
+
+x += y chains naturally (each rep reads the previous x), so chained timing
+needs no optimization_barrier: the fori_loop body IS the steady-state kernel.
+
+Variant mapping:
+  Kokkos parallel_for   -> XLA add with x donated (true in-place)
+  thrust::transform     -> XLA functional add
+  CUDA scalar           -> Pallas in-place add, (rows, 128) tiles
+  CUDA float4/double2   -> Pallas in-place add, 1024-lane rows
+  CUDA functor kernel   -> Pallas generic map2 functor
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bench.baselines import axpy as xla_axpy
+from tpu_bench.core.config import Config
+from tpu_bench.core.registry import Variant
+from tpu_bench.core.reporting import Reporter
+from tpu_bench.core.timing import sync_latency, time_chained, time_variant
+from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
+                                     l2norm)
+from tpu_bench.kernels import axpy as pl_axpy
+from tpu_bench.ops import initdata
+
+
+def _pallas(fn_name, cfg):
+    fn = getattr(pl_axpy, fn_name)
+    return jax.jit(functools.partial(fn, interpret=cfg.interpret),
+                   donate_argnums=(0,))
+
+
+VARIANTS = [
+    Variant("XLA(donate)", lambda d, c: xla_axpy.add_donated),
+    Variant("XLA", lambda d, c: xla_axpy.add),
+    Variant("Pallas", lambda d, c: _pallas("add_inplace", c)),
+    Variant("Pallas(vl)", lambda d, c: _pallas("add_inplace_wide", c)),
+    Variant("Pallas(functor)", lambda d, c: _pallas("map2_inplace", c)),
+]
+
+LABELS = [v.label for v in VARIANTS]
+
+
+def _accum_chain(fn):
+    """run_k(k, x, y): k accumulating in-place additions, scalar probe out."""
+
+    @jax.jit
+    def run_k(k, x, y):
+        out = jax.lax.fori_loop(0, k, lambda i, xx: fn(xx, y), x)
+        return out.ravel()[0].astype(jnp.float32)
+
+    return run_k
+
+
+def _accum_apply(fn):
+    """apply_n(k, x, y): k accumulating additions, returns the final x."""
+
+    @jax.jit
+    def apply_n(k, x, y):
+        return jax.lax.fori_loop(0, k, lambda i, xx: fn(xx, y), x)
+
+    return apply_n
+
+
+def _time_accumulating(fn, size, cfg, y):
+    """Time one x += y application; return (seconds, x_after_n_tests_reps)."""
+    mode = cfg.timing
+    if mode == "auto":
+        mode = "chained" if sync_latency() > 1e-3 else "dispatch"
+
+    if mode == "chained":
+        x = initdata.device_x(size, cfg.dtype)
+        run_k = _accum_chain(fn)
+        t = time_chained(run_k, (x, y), n_tests=cfg.n_tests)
+        x = initdata.device_x(size, cfg.dtype)
+        x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), x, y)
+        return t, x_final
+
+    # dispatch mode: warm the jit cache on a scratch x (donation may
+    # invalidate it), then exactly n_tests timed accumulating reps.
+    xw = initdata.device_x(size, cfg.dtype)
+    jax.block_until_ready(fn(xw, y))
+    del xw
+    x = initdata.device_x(size, cfg.dtype)
+    jax.block_until_ready(x)
+    from tpu_bench.core.timing import Timer
+
+    timer = Timer()
+    best = float("inf")
+    for _ in range(cfg.n_tests):
+        timer.start()
+        x = fn(x, y)
+        jax.block_until_ready(x)
+        timer.stop()
+        best = min(best, timer.elapsed_seconds())
+    return best, x
+
+
+def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
+    y = initdata.device_y(size, cfg.dtype)
+    jax.block_until_ready(y)
+
+    times, norms = [], []
+    for v in VARIANTS:
+        fn = v.build(None, cfg)
+        t, x_final = _time_accumulating(fn, size, cfg, y)
+        times.append(t)
+        norms.append(l2norm(x_final))
+        del x_final
+
+    if cfg.validate:
+        for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),
+                                        context=f"b02 size={size}"):
+            reporter.note("WARNING: " + msg)
+
+    gbs = [3 * cfg.itemsize * 1e-9 * size / t for t in times]
+    reporter.emit("Size", size, LABELS, norms, gbs, "GB/s")
+
+
+def main(argv=None):
+    from tpu_bench.benchmarks import cli
+
+    args = cli.build_parser("benchmark02").parse_args(argv)
+    cfg = Config.from_flags(args)
+    reporter = Reporter("Benchmark02 : Vector Addition")
+    cap = cfg.mem_cap_bytes
+    for size in cli.sweep(1024, 536870912, args):
+        if 4 * size * cfg.itemsize > cap:  # y + x + warmup scratch + slack
+            reporter.note(f"b02: stopping sweep at size {size} (memory cap)")
+            break
+        run_test(size, cfg, reporter)
+
+
+if __name__ == "__main__":
+    main()

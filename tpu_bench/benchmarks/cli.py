@@ -1,0 +1,48 @@
+"""Shared CLI for the five benchmark drivers.
+
+The reference takes positional argv only (b04: `nq0 nq1 threads elblocks`,
+benchmark04/benchmark04.cc:1058-1063; b05 adds nq2; b01-b03 take none) with
+hard-coded sweep bounds.  We keep the positional contract and add flags for
+dtype, repetition count, sweep bounds, and the Pallas elements-per-block knob
+(the `threads`/`elblocks` analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser(name: str, positionals=()) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=name)
+    for pos, default in positionals:
+        p.add_argument(pos, nargs="?", type=int, default=default)
+    p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default="f32",
+                   help="element type (reference uses f64; f32 is TPU-native)")
+    p.add_argument("--ntests", type=int, default=40,
+                   help="repetitions per variant; min is kept (reference: 40)")
+    p.add_argument("--epb", type=int, default=None,
+                   help="elements per Pallas program (threads/elblocks analog)")
+    p.add_argument("--precision", choices=["default", "high", "highest"],
+                   default="highest",
+                   help="MXU precision for f32 contractions")
+    p.add_argument("--min-size", type=int, default=None,
+                   help="override sweep lower bound")
+    p.add_argument("--max-size", type=int, default=None,
+                   help="override sweep upper bound (inclusive)")
+    p.add_argument("--no-validate", action="store_true",
+                   help="skip cross-variant norm agreement asserts")
+    p.add_argument("--timing", choices=["auto", "dispatch", "chained"],
+                   default="auto",
+                   help="dispatch = reference-faithful per-launch timing; "
+                        "chained = latency-cancelling kernel chains")
+    return p
+
+
+def sweep(default_min: int, default_max: int, args):
+    """Geometric x2 sweep like the reference mains (benchmark01.cc:343)."""
+    lo = args.min_size or default_min
+    hi = args.max_size or default_max
+    size = lo
+    while size <= hi:
+        yield size
+        size *= 2

@@ -1,0 +1,110 @@
+"""Run configuration shared by all five benchmarks.
+
+The reference suite configures runs through positional argv plus hard-coded
+sweep bounds (benchmark04/benchmark04.cc:1058-1075); we keep that positional
+contract in each benchmark CLI and gather everything else (dtype, repetition
+count, memory cap, tile knobs) here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# Persistent compilation cache: the benchmark suite compiles O(100) distinct
+# (variant, size) programs per sweep; caching makes repeat runs cheap.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TPU_BENCH_JAX_CACHE",
+                       os.path.expanduser("~/.cache/tpu_bench_jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without these options
+    pass
+
+
+def _default_interpret() -> bool:
+    """Pallas kernels are compiled via Mosaic on TPU and interpreted elsewhere
+    (CPU pytest runs, see tests/conftest.py)."""
+    env = os.environ.get("TPU_BENCH_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() != "tpu"
+
+
+def device_memory_bytes() -> int:
+    """Best-effort per-device memory for sweep guards (v5e: 16 GB HBM)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    if jax.default_backend() == "tpu":
+        return 16 * 1024**3
+    return 8 * 1024**3  # CPU test runs: keep sweeps modest
+
+
+@dataclasses.dataclass
+class Config:
+    """Knobs shared across benchmarks.
+
+    n_tests=40 and the min-of-N protocol mirror the reference harness
+    (benchmark01/benchmark01.cc:186, :208).  `epb` (elements per block) is the
+    TPU analog of the reference's `threads`/`elblocks` CLI knobs
+    (benchmark04/benchmark04.cc:1060-1063): it sets how many elements a single
+    Pallas program instance owns, which controls the VMEM working set.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+    n_tests: int = 40
+    interpret: Optional[bool] = None
+    epb: Optional[int] = None  # elements per Pallas program (None = auto)
+    mem_fraction: float = 0.55  # fraction of device memory a sweep size may use
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    validate: bool = True  # cross-variant norm agreement checks
+    # "dispatch" = reference-faithful per-dispatch timing; "chained" =
+    # latency-cancelling k-application chains (see core/timing.py); "auto"
+    # picks chained when the host<->device sync round-trip exceeds 1 ms.
+    timing: str = "auto"
+
+    def __post_init__(self):
+        if self.interpret is None:
+            self.interpret = _default_interpret()
+        self.dtype = jnp.dtype(self.dtype)
+
+    @property
+    def itemsize(self) -> int:
+        return self.dtype.itemsize
+
+    @property
+    def mem_cap_bytes(self) -> int:
+        return int(device_memory_bytes() * self.mem_fraction)
+
+    @classmethod
+    def from_flags(cls, args) -> "Config":
+        """Build from an argparse namespace produced by benchmarks.cli."""
+        dtype = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}[
+            args.dtype
+        ]
+        if dtype == jnp.float64:
+            jax.config.update("jax_enable_x64", True)
+        precision = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[args.precision]
+        return cls(
+            dtype=dtype,
+            n_tests=args.ntests,
+            epb=args.epb,
+            precision=precision,
+            validate=not args.no_validate,
+            timing=args.timing,
+        )

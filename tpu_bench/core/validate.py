@@ -1,0 +1,72 @@
+"""Validation layer.
+
+The reference's correctness oracle is the side-by-side L2 norm of every
+variant's output (SURVEY.md §4): agreement across independent implementations
+of the same math.  We keep that (the `norm:` log lines) and upgrade it from
+eyeball-checking to programmatic asserts, plus NumPy/native f64 reference
+implementations used by the pytest suite (tpu_bench/utils/native.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _norm_sq_f32(x: jax.Array) -> jax.Array:
+    # Chunked pairwise-style accumulation keeps f32 summation error small for
+    # the ~1e8-element outputs of the large sweep sizes.
+    x = x.ravel()
+    n = x.shape[0]
+    chunk = 1 << 16
+    if n > chunk and n % chunk == 0:
+        partial = jnp.sum(
+            (x * x).reshape(n // chunk, chunk), axis=-1, dtype=jnp.float32
+        )
+        return jnp.sum(partial, dtype=jnp.float32)
+    return jnp.sum(x * x, dtype=jnp.float32)
+
+
+def l2norm(x: jax.Array) -> float:
+    """On-device L2 norm (f64 accumulation when x64 is live, else chunked f32)."""
+    if x.dtype == jnp.float64:
+        return float(jnp.sqrt(jnp.sum(x.ravel().astype(jnp.float64) ** 2)))
+    return float(np.sqrt(_norm_sq_f32(x.astype(jnp.float32))))
+
+
+def check_norm_agreement(
+    labels: Sequence[str],
+    norms: Sequence[float],
+    rtol: float,
+    context: str = "",
+) -> list:
+    """Assert all variant norms agree with the first one to rtol.
+
+    Returns a list of human-readable mismatch strings (empty = all agree).
+    Mirrors the reference's cross-variant norm columns
+    (benchmark04/benchmark04.cc:1033-1041), asserted instead of eyeballed.
+    """
+    mismatches = []
+    ref = norms[0]
+    scale = max(abs(ref), 1e-300)
+    for label, n in zip(labels[1:], norms[1:]):
+        if abs(n - ref) / scale > rtol:
+            mismatches.append(
+                f"{context} norm mismatch: {labels[0]}={ref!r} vs {label}={n!r} "
+                f"(rtol {rtol})"
+            )
+    return mismatches
+
+
+def default_rtol(dtype) -> float:
+    """Per-dtype cross-variant tolerance (SURVEY.md §7 hard-parts: f32 ~1e-5)."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64:
+        return 1e-10
+    if dtype == jnp.bfloat16:
+        return 5e-2
+    return 5e-4
