@@ -57,7 +57,7 @@ LABELS = [v.label for v in VARIANTS]
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     """Time every variant at one size and emit the log-line triple
     (the run_test<T> analog, benchmark01/benchmark01.cc:183-335)."""
-    x = initdata.device_x(size, cfg.dtype)
+    x = initdata.device_x(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(x)
 
     times, norms = [], []

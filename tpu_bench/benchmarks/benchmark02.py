@@ -82,19 +82,19 @@ def _time_accumulating(fn, size, cfg, y):
         mode = "chained" if sync_latency() > 1e-3 else "dispatch"
 
     if mode == "chained":
-        x = initdata.device_x(size, cfg.dtype)
+        x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         run_k = _accum_chain(fn)
         t = time_chained(run_k, (x, y), n_tests=cfg.n_tests)
-        x = initdata.device_x(size, cfg.dtype)
+        x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), x, y)
         return t, x_final
 
     # dispatch mode: warm the jit cache on a scratch x (donation may
     # invalidate it), then exactly n_tests timed accumulating reps.
-    xw = initdata.device_x(size, cfg.dtype)
+    xw = initdata.device_x(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(fn(xw, y))
     del xw
-    x = initdata.device_x(size, cfg.dtype)
+    x = initdata.device_x(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(x)
     from tpu_bench.core.timing import Timer
 
@@ -110,7 +110,7 @@ def _time_accumulating(fn, size, cfg, y):
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
-    y = initdata.device_y(size, cfg.dtype)
+    y = initdata.device_y(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(y)
 
     times, norms = [], []

@@ -9,13 +9,13 @@ SUBLANES = 8  # f32 sublane count of one (8, 128) VPU tile
 
 
 def pow2_rows(total_rows: int, target: int) -> int:
-    """Largest power-of-two block row count <= min(total_rows, target).
+    """Largest power-of-two divisor of total_rows that is <= target.
 
-    Sweep sizes in this suite are powers of two, so the result always divides
-    total_rows evenly (no remainder programs needed).
-    """
+    Guarantees the block count divides the array evenly (no remainder
+    programs); default sweep sizes are powers of two so this normally
+    saturates at `target`."""
     r = 1
-    while r * 2 <= min(total_rows, target):
+    while r * 2 <= target and total_rows % (r * 2) == 0:
         r *= 2
     return r
 

@@ -31,6 +31,10 @@ import numpy as np
 from tpu_bench.utils import native
 
 
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _iota_i32(n: int) -> jax.Array:
     return jax.lax.iota(jnp.int32, n)
 
@@ -49,27 +53,52 @@ def _device_mod8_f32(i: jax.Array) -> jax.Array:
     )
 
 
-def device_x(n: int, dtype) -> jax.Array:
+def _padded(vals: jax.Array, n: int, pad_to: int) -> jax.Array:
+    """Zero-pad a length-n array up to round_up(n, pad_to).
+
+    Sizes that are not lane-tile multiples get a zero tail so every variant
+    (Pallas tiles included) processes the same buffer; zeros are inert for
+    the b01/b02 math, so validation norms are unchanged.  Throughput metrics
+    always count the true n.
+    """
+    np_ = round_up(n, pad_to)
+    if np_ == n:
+        return vals
+    return jnp.concatenate([vals, jnp.zeros((np_ - n,), vals.dtype)])
+
+
+def device_x(n: int, dtype, pad_to: int = 1) -> jax.Array:
     """b01/b02 first operand, initialized on device."""
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float64:
         # f64 path: formula evaluated exactly on host (CPU tests / parity runs)
-        return jnp.asarray(native.init_mod13(n))
-    return _device_mod13_f32(_iota_i32(n)).astype(dtype)
+        vals = jnp.asarray(native.init_mod13(n))
+    else:
+        vals = _device_mod13_f32(_iota_i32(n)).astype(dtype)
+    return _padded(vals, n, pad_to)
 
 
-def device_y(n: int, dtype) -> jax.Array:
+def device_y(n: int, dtype, pad_to: int = 1) -> jax.Array:
     """b02 second operand, initialized on device."""
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float64:
-        return jnp.asarray(native.init_mod8(n))
-    return _device_mod8_f32(_iota_i32(n)).astype(dtype)
+        vals = jnp.asarray(native.init_mod8(n))
+    else:
+        vals = _device_mod8_f32(_iota_i32(n)).astype(dtype)
+    return _padded(vals, n, pad_to)
 
 
-def host_matrix_sin1(shape, dtype) -> jax.Array:
-    """A[l] = sin(l+1), evaluated in f64 on host, cast to dtype, put on device."""
+def host_matrix_sin1(shape, dtype, pad_shape=None) -> jax.Array:
+    """A[l] = sin(l+1), evaluated in f64 on host, cast to dtype, put on device.
+
+    pad_shape, when given, zero-pads each trailing edge up to a multiple of
+    the corresponding entry (tile alignment for odd sizes; zeros are inert)."""
     n = int(np.prod(shape))
     a = native.init_sin1(n).reshape(shape)
+    if pad_shape is not None:
+        target = tuple(round_up(s, p) for s, p in zip(shape, pad_shape))
+        if target != tuple(shape):
+            a = np.pad(a, [(0, t - s) for s, t in zip(shape, target)])
     return jnp.asarray(a, dtype=dtype)
 
 
@@ -79,6 +108,10 @@ def host_basis_cos(nm: int, nq: int, dtype) -> jax.Array:
     return jnp.asarray(b, dtype=dtype)
 
 
-def host_x_linear(n: int, dtype) -> jax.Array:
+def host_x_linear(n: int, dtype, pad_to: int = 1) -> jax.Array:
     """b03 vector x[j] = j (benchmark03/benchmark03.cc:167)."""
-    return jnp.asarray(np.arange(n, dtype=np.float64), dtype=dtype)
+    v = np.arange(n, dtype=np.float64)
+    np_len = round_up(n, pad_to)
+    if np_len != n:
+        v = np.pad(v, (0, np_len - n))
+    return jnp.asarray(v, dtype=dtype)
