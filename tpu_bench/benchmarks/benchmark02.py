@@ -60,7 +60,9 @@ def _accum_chain(fn):
     @jax.jit
     def run_k(k, x, y):
         out = jax.lax.fori_loop(0, k, lambda i, xx: fn(xx, y), x)
-        return out.ravel()[0].astype(jnp.float32)
+        # sum (not a single element) so XLA cannot slice-propagate the
+        # probe through the loop and elide the streaming work
+        return jnp.sum(out.astype(jnp.float32))
 
     return run_k
 

@@ -1,0 +1,169 @@
+"""Benchmark 04 — 2D tensor-product sum-factorization (BwdTrans quad).
+
+Reference: benchmark04/benchmark04.cc (harness :428-1056, CLI :1058-1075).
+Eleven variants; GDOF/s counts input DOFs: 1e-9*nelmt*nm0*nm1/t (:1043-1054).
+Sweep: nelmt = 128 .. 1,048,576 (x2, :1070); nq from argv (default 8 8).
+
+Variant mapping (reference -> TPU-native, SURVEY.md §7):
+  Kokkos Uncoalesced        -> XLA einsum, element-major layout
+  Kokkos Coalesced          -> XLA einsum, element-on-lane layout
+  Kokkos QP                 -> XLA explicit two-stage einsum (HBM wsp)
+  Kokkos QP/Shared          -> XLA two-stage dot_general
+  cuBLAS gemm+gemmBatched   -> XLA single kron-operator GEMM
+  Cuda Uncoalesced          -> Pallas kron GEMM, element-major blocks
+  Cuda Coalesced            -> Pallas kron GEMM, element-on-lane blocks
+  Cuda QP (global wsp)      -> Pallas 2-kernel sum-factorization, HBM wsp
+  Cuda QP/Shared            -> Pallas fused sum-factorization, VMEM wsp
+  Cuda QP-1D (global wsp)   -> Pallas 2-kernel dense-stage, element-major
+  Cuda QP-1D/Shared         -> Pallas fused dense-stage, element-major
+
+`epb` (elements per Pallas program) is the threads/elblocks analog
+(reference defaults 128 1, :1060-1063); auto-sized from the VMEM budget.
+Chained timing perturbs the basis/operator matrices (tiny next to the
+element streams).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bench.baselines import bwdtrans2d as xla_bt
+from tpu_bench.core.config import Config
+from tpu_bench.core.registry import Variant
+from tpu_bench.core.reporting import Reporter
+from tpu_bench.core.timing import eps_chain, measure
+from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
+                                     l2norm)
+from tpu_bench.kernels import bwdtrans2d as pl_bt
+from tpu_bench.ops import bwdtrans, initdata
+
+
+def _pl(fn, cfg, epb):
+    return jax.jit(functools.partial(fn, epb=epb, interpret=cfg.interpret,
+                                     precision=cfg.precision))
+
+
+def _xla(fn, cfg):
+    return functools.partial(fn, precision=cfg.precision)
+
+
+def build_variants(data, cfg):
+    """Ordered (label, fn, args) for the 11-variant table; args[1] is the
+    small operand the chained timer perturbs."""
+    epb = data["epb"]
+    return [
+        ("XLA(Uncoales)", _xla(xla_bt.einsum_em, cfg),
+         (data["in_em3"], data["b0"], data["b1"])),
+        ("XLA(Coales)", _xla(xla_bt.einsum_coa, cfg),
+         (data["in_coa3"], data["b0"], data["b1"])),
+        ("XLA(QP)", _xla(xla_bt.staged_em, cfg),
+         (data["in_em3"], data["b0"], data["b1"])),
+        ("XLA(QP/DG)", _xla(xla_bt.staged_dotgeneral, cfg),
+         (data["in_em3"], data["b0"], data["b1"])),
+        ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg),
+         (data["in_coa"], data["c_coa"])),
+        ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg, epb),
+         (data["in_em2"], data["c_em"])),
+        ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, epb),
+         (data["in_coa"], data["c_coa"])),
+        ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb),
+         (data["in_coa3"], data["b0t"], data["b1t"])),
+        ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb),
+         (data["in_coa3"], data["b0t"], data["b1t"])),
+        ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb),
+         (data["in_em2"], data["s1_em"], data["s2_em"])),
+        ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared, cfg, epb),
+         (data["in_em2"], data["s1_em"], data["s2_em"])),
+    ]
+
+
+LABELS = [
+    "XLA(Uncoales)", "XLA(Coales)", "XLA(QP)", "XLA(QP/DG)", "XLA(GEMM)",
+    "Pallas(Uncoales)", "Pallas(Coales)", "Pallas(QP)", "Pallas(QP/Shared)",
+    "Pallas(QP-1D)", "Pallas(QP-1D/Shared)",
+]
+
+
+def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
+    basis = bwdtrans.make_basis2d(nq0, nq1, cfg.dtype)
+    e_pad = initdata.round_up(nelmt, 128)
+    in_em2, in_coa = bwdtrans.make_inputs2d(basis, nelmt, e_pad, cfg.dtype)
+    c_em, s1_em, s2_em = bwdtrans.operators2d(basis)
+    nm1, nm0 = basis.nm1, basis.nm0
+    bytes_col = cfg.itemsize * (2 * basis.nm_tot + 2 * basis.nq_tot
+                                + nm1 * basis.nq0)
+    epb = bwdtrans.choose_epb(bytes_col, e_pad, cfg.epb)
+    return dict(
+        basis=basis,
+        nelmt=nelmt,
+        e_pad=e_pad,
+        epb=epb,
+        in_em2=in_em2,
+        in_em3=in_em2.reshape(e_pad, nm1, nm0),
+        in_coa=in_coa,
+        in_coa3=in_coa.reshape(nm1, nm0, e_pad),
+        b0=basis.b0,
+        b1=basis.b1,
+        b0t=jnp.asarray(basis.b0.T),
+        b1t=jnp.asarray(basis.b1.T),
+        c_em=c_em,
+        c_coa=jnp.asarray(c_em.T),
+        s1_em=s1_em,
+        s2_em=s2_em,
+    )
+
+
+def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,
+             reporter: Reporter) -> None:
+    data = prepare(nq0, nq1, nelmt, cfg)
+    jax.block_until_ready(data["in_coa"])
+
+    times, norms = [], []
+    for label, fn, args in build_variants(data, cfg):
+        t = measure(fn, args, cfg, chain_fn=eps_chain(fn, eps_arg=1))
+        out = fn(*args)
+        norms.append(l2norm(out))
+        del out
+        times.append(t)
+
+    if cfg.validate:
+        for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),
+                                        context=f"b04 nelmt={nelmt}"):
+            reporter.note("WARNING: " + msg)
+
+    nm0, nm1 = nq0 - 1, nq1 - 1
+    dofs = [1e-9 * nelmt * nm0 * nm1 / t for t in times]
+    reporter.emit("nelmt", nelmt, LABELS, norms, dofs, "DOF/s")
+
+
+def main(argv=None):
+    from tpu_bench.benchmarks import cli
+
+    parser = cli.build_parser(
+        "benchmark04",
+        positionals=[("nq0", 8), ("nq1", 8), ("threads", None),
+                     ("elblocks", None)],
+    )
+    args = parser.parse_args(argv)
+    cfg = Config.from_flags(args)
+    if cfg.epb is None and args.threads and args.elblocks:
+        cfg.epb = args.threads * args.elblocks
+    nq0, nq1 = args.nq0, args.nq1
+    nm0, nm1 = nq0 - 1, nq1 - 1
+    reporter = Reporter("Benchmark04 : BwdTrans (2D)")
+    reporter.sweep_title(f"BwdTrans (NQ = {nq0}, {nq1})")
+    cap = cfg.mem_cap_bytes
+    nm_tot, nq_tot = nm0 * nm1, nq0 * nq1
+    for nelmt in cli.sweep(128, 1048576, args):
+        need = (2 * nm_tot + 3 * nq_tot + nm1 * nq0) * nelmt * cfg.itemsize
+        if need > cap:
+            reporter.note(f"b04: stopping sweep at nelmt {nelmt} (memory cap)")
+            break
+        run_test(nelmt, nq0, nq1, cfg, reporter)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,16 +134,30 @@ def build_chain(chain_fn: Callable, probe: Callable = _default_probe) -> Callabl
     perturbing a small operand with eps = 0.0 * p.  This creates a true data
     dependence XLA cannot hoist or CSE (an optimization_barrier on the large
     operand does NOT work: XLA splits tuple barriers element-wise and then
-    hoists the loop-invariant computation).  k is a traced value, so one
-    compilation covers every chain length.
+    hoists the loop-invariant computation).
+
+    Two further anti-elision measures, both load-bearing:
+      * the loop CARRIES the full output array (not just the probe scalar) —
+        a scalar carry lets XLA slice-propagate the probe through the body
+        and shrink every iteration to a single output element;
+      * the returned completion witness is sum(out_final), so every element
+        of the carried array is live (one extra read, amortized over k).
+
+    k is a traced value, so one compilation covers every chain length.
     """
 
     @jax.jit
     def run_k(k, *args):
-        def body(_, p):
-            return probe(chain_fn(p, *args))
+        out0 = chain_fn(jnp.float32(0.0), *args)
 
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        def body(_, out_prev):
+            p = probe(out_prev)
+            return chain_fn(p, *args)
+
+        out = jax.lax.fori_loop(1, k, body, out0)
+        if isinstance(out, (tuple, list)):
+            out = out[0]
+        return jnp.sum(out.astype(jnp.float32))
 
     return run_k
 

@@ -1,0 +1,128 @@
+"""Shared machinery for the 2D/3D tensor-product sum-factorization
+("BwdTrans") benchmarks.
+
+Math (2D, reference semantics from benchmark04/benchmark04.cc:489-523):
+
+    out[e, j, i] = sum_{q, p} in[e, q, p] * B0[p, i] * B1[q, j]
+
+with nm_d = nq_d - 1 modes per direction (:437-438), element data
+in[e, q, p] = sin(q*nm0 + p + 1) (identical for every element, :470-477) and
+basis B_d[m, n] = cos(m*nq_d + n) (:478-486).  3D adds a third contraction
+(B2, out[e,k,j,i]; benchmark05/benchmark05.cc:695-740).
+
+Two storage layouts, mirroring the reference's uncoalesced/coalesced pair
+(:859-875): element-major (E, nmTot) with the element index on the slow
+axis, and "coalesced" (nmTot, E) with the element index on the 128-lane
+minor axis — the layout that tiles natively on the TPU VPU/MXU.
+
+Operator matrices (device-built, untimed prep):
+    C_em  = kron(B1, B0)              (nmTot, nqTot): out_em2 = in_em2 @ C_em
+    S1_em = kron(I_nm1, B0)           stage-1 for element-major layout
+    S2_em = kron(B1, I_nq0)           stage-2 for element-major layout
+(coalesced variants use the transposes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_bench.ops import initdata
+from tpu_bench.utils import native
+
+
+@dataclasses.dataclass
+class Basis2D:
+    nq0: int
+    nq1: int
+    b0: jax.Array  # (nm0, nq0)
+    b1: jax.Array  # (nm1, nq1)
+
+    @property
+    def nm0(self):
+        return self.nq0 - 1
+
+    @property
+    def nm1(self):
+        return self.nq1 - 1
+
+    @property
+    def nm_tot(self):
+        return self.nm0 * self.nm1
+
+    @property
+    def nq_tot(self):
+        return self.nq0 * self.nq1
+
+
+def make_basis2d(nq0: int, nq1: int, dtype) -> Basis2D:
+    nm0, nm1 = nq0 - 1, nq1 - 1
+    return Basis2D(
+        nq0=nq0,
+        nq1=nq1,
+        b0=initdata.host_basis_cos(nm0, nq0, dtype),
+        b1=initdata.host_basis_cos(nm1, nq1, dtype),
+    )
+
+
+def element_data2d(basis: Basis2D, dtype) -> jax.Array:
+    """One element's mode coefficients, flat (nmTot,): sin(l+1)."""
+    return jnp.asarray(native.init_sin1(basis.nm_tot), dtype=dtype)
+
+
+def make_inputs2d(basis: Basis2D, nelmt: int, nelmt_pad: int, dtype):
+    """(in_em2 (E_pad, nmTot), in_coa (nmTot, E_pad)): identical per-element
+    data, with zeroed padding elements beyond nelmt (inert in norms)."""
+    elem = element_data2d(basis, dtype)
+    in_em2 = jnp.tile(elem[None, :], (nelmt_pad, 1))
+    if nelmt_pad != nelmt:
+        mask = (jnp.arange(nelmt_pad) < nelmt)[:, None]
+        in_em2 = jnp.where(mask, in_em2, jnp.zeros((), dtype))
+    in_coa = jnp.asarray(in_em2.T)
+    return in_em2, in_coa
+
+
+def operators2d(basis: Basis2D):
+    """Device operator matrices for the matmul-form variants."""
+    b0, b1 = basis.b0, basis.b1
+    eye0 = jnp.eye(basis.nq0, dtype=b0.dtype)
+    eye1 = jnp.eye(basis.nm1, dtype=b0.dtype)
+    c_em = jnp.kron(b1, b0)          # (nmTot, nqTot)
+    s1_em = jnp.kron(eye1, b0)       # (nmTot, nm1*nq0)
+    s2_em = jnp.kron(b1, eye0)       # (nm1*nq0, nqTot)
+    return c_em, s1_em, s2_em
+
+
+def choose_epb(bytes_per_elem_col: int, nelmt_pad: int, epb: int = None,
+               vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Elements per Pallas program (the threads/elblocks analog): the largest
+    power of two whose VMEM working set fits the budget (SURVEY.md §7:
+    basis + workspaces x elements-per-program must fit ~16 MB VMEM)."""
+    if epb is None:
+        cols = max(1, vmem_budget // max(bytes_per_elem_col, 1))
+        epb = 128
+        while epb * 2 <= min(cols, 2048):
+            epb *= 2
+    e = 1
+    while e * 2 <= min(epb, nelmt_pad) and nelmt_pad % (e * 2) == 0:
+        e *= 2
+    return e
+
+
+# ---- f64 reference (test oracle plumbing) -------------------------------
+
+
+def reference2d(basis: Basis2D, nelmt: int) -> np.ndarray:
+    """f64 oracle out (nelmt, nq1, nq0) via the native/NumPy reference."""
+    elem = native.init_sin1(basis.nm_tot)
+    inp = np.broadcast_to(elem, (nelmt, basis.nm_tot)).reshape(
+        nelmt, basis.nm1, basis.nm0
+    )
+    b0 = native.init_cos(basis.nm0 * basis.nq0).reshape(basis.nm0, basis.nq0)
+    b1 = native.init_cos(basis.nm1 * basis.nq1).reshape(basis.nm1, basis.nq1)
+    return native.bwdtrans2d_ref(inp, b0, b1)
