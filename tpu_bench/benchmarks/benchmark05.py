@@ -1,0 +1,171 @@
+"""Benchmark 05 — 3D tensor-product sum-factorization (BwdTrans hex).
+
+Reference: benchmark05/benchmark05.cc (harness :619-1421, CLI :1423-1442:
+`nq0 nq1 nq2 threads elblocks`).  Eleven variants; GDOF/s counts input DOFs:
+1e-9*nelmt*nm0*nm1*nm2/t (:1407-1419).  Sweep: nelmt = 128 .. 1,048,576.
+
+Variant taxonomy mirrors benchmark04 with a third contraction stage; the
+fused Pallas sum-factorization kernels use the asymmetric stage split
+described in kernels/bwdtrans3d.py.  VMEM budgeting per variant family is
+the interesting 3D twist (SURVEY.md §5.7): at nq=10 an element carries 729
+input + 1000 output values, so elements-per-block is sized per family from
+its VMEM working set (operators + double-buffered element streams).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bench.baselines import bwdtrans3d as xla_bt
+from tpu_bench.core.config import Config
+from tpu_bench.core.reporting import Reporter
+from tpu_bench.core.timing import eps_chain, measure
+from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
+                                     l2norm)
+from tpu_bench.kernels import bwdtrans3d as pl_bt
+from tpu_bench.ops import bwdtrans, initdata
+
+
+def _pl(fn, cfg, epb):
+    return jax.jit(functools.partial(fn, epb=epb, interpret=cfg.interpret,
+                                     precision=cfg.precision))
+
+
+def _xla(fn, cfg):
+    return functools.partial(fn, precision=cfg.precision)
+
+
+LABELS = [
+    "XLA(Uncoales)", "XLA(Coales)", "XLA(QP)", "XLA(QP/DG)", "XLA(GEMM)",
+    "Pallas(Uncoales)", "Pallas(Coales)", "Pallas(QP)", "Pallas(QP/Shared)",
+    "Pallas(QP-1D)", "Pallas(QP-1D/Shared)",
+]
+
+
+def build_variants(data, cfg):
+    return [
+        ("XLA(Uncoales)", _xla(xla_bt.einsum_em, cfg),
+         (data["in_em4"], data["b0"], data["b1"], data["b2"])),
+        ("XLA(Coales)", _xla(xla_bt.einsum_coa, cfg),
+         (data["in_coa4"], data["b0"], data["b1"], data["b2"])),
+        ("XLA(QP)", _xla(xla_bt.staged_em, cfg),
+         (data["in_em4"], data["b0"], data["b1"], data["b2"])),
+        ("XLA(QP/DG)", _xla(xla_bt.staged_dotgeneral, cfg),
+         (data["in_em4"], data["b0"], data["b1"], data["b2"])),
+        ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg),
+         (data["in_coa"], data["c_coa3"])),
+        ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
+                                 data["epb_kron"]),
+         (data["in_em2"], data["c_em3"])),
+        ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, data["epb_kron"]),
+         (data["in_coa"], data["c_coa3"])),
+        ("Pallas(QP)", _pl(pl_bt.qp_global3d, cfg, data["epb_qp"]),
+         (data["in_coa3"], data["b0t"], data["c12t"])),
+        ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared3d, cfg, data["epb_qp"]),
+         (data["in_coa3"], data["b0t"], data["c12t"])),
+        ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global3d, cfg, data["epb_1d"]),
+         (data["in_em2"], data["s1_em"], data["s2_em"], data["s3_em"])),
+        ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared3d, cfg,
+                                     data["epb_1d"]),
+         (data["in_em2"], data["s1_em"], data["s2_em"], data["s3_em"])),
+    ]
+
+
+def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
+    basis = bwdtrans.make_basis3d(nq0, nq1, nq2, cfg.dtype)
+    e_pad = initdata.round_up(nelmt, 128)
+    in_em2, in_coa = bwdtrans.make_inputs3d(basis, nelmt, e_pad, cfg.dtype)
+    c_em3, c12t, s1_em, s2_em, s3_em = bwdtrans.operators3d(basis)
+    nm0, nm1, nm2 = basis.nm0, basis.nm1, basis.nm2
+    nm_tot, nq_tot = basis.nm_tot, basis.nq_tot
+    it = cfg.itemsize
+    w1c = nm2 * nm1 * nq0
+    budget = 8 * 1024 * 1024
+
+    epb_qp = bwdtrans.choose_epb(
+        it * (2 * nm_tot + 2 * nq_tot + w1c), e_pad, cfg.epb, budget)
+    epb_kron = bwdtrans.choose_epb(
+        it * 2 * (nm_tot + nq_tot), e_pad, cfg.epb,
+        max(budget - c_em3.size * it, 1 << 20))
+    ops_bytes = (s1_em.size + s2_em.size + s3_em.size) * it
+    w_cols = s1_em.shape[1] + s2_em.shape[1]
+    epb_1d = bwdtrans.choose_epb(
+        it * (2 * nm_tot + 2 * nq_tot + w_cols), e_pad, cfg.epb,
+        max(budget - ops_bytes, 1 << 20))
+
+    return dict(
+        basis=basis,
+        nelmt=nelmt,
+        e_pad=e_pad,
+        epb_qp=epb_qp,
+        epb_kron=epb_kron,
+        epb_1d=epb_1d,
+        in_em2=in_em2,
+        in_em4=in_em2.reshape(e_pad, nm2, nm1, nm0),
+        in_coa=in_coa,
+        in_coa3=in_coa.reshape(nm2 * nm1, nm0, e_pad),
+        in_coa4=in_coa.reshape(nm2, nm1, nm0, e_pad),
+        b0=basis.b0, b1=basis.b1, b2=basis.b2,
+        b0t=jnp.asarray(basis.b0.T),
+        c12t=c12t,
+        c_em3=c_em3,
+        c_coa3=jnp.asarray(c_em3.T),
+        s1_em=s1_em, s2_em=s2_em, s3_em=s3_em,
+    )
+
+
+def run_test(nelmt: int, nq0: int, nq1: int, nq2: int, cfg: Config,
+             reporter: Reporter) -> None:
+    data = prepare(nq0, nq1, nq2, nelmt, cfg)
+    jax.block_until_ready(data["in_coa"])
+
+    times, norms = [], []
+    for label, fn, args in build_variants(data, cfg):
+        t = measure(fn, args, cfg, chain_fn=eps_chain(fn, eps_arg=1))
+        out = fn(*args)
+        norms.append(l2norm(out))
+        del out
+        times.append(t)
+
+    if cfg.validate:
+        for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),
+                                        context=f"b05 nelmt={nelmt}"):
+            reporter.note("WARNING: " + msg)
+
+    nm = (nq0 - 1) * (nq1 - 1) * (nq2 - 1)
+    dofs = [1e-9 * nelmt * nm / t for t in times]
+    reporter.emit("nelmt", nelmt, LABELS, norms, dofs, "DOF/s")
+
+
+def main(argv=None):
+    from tpu_bench.benchmarks import cli
+
+    parser = cli.build_parser(
+        "benchmark05",
+        positionals=[("nq0", 8), ("nq1", 8), ("nq2", 8), ("threads", None),
+                     ("elblocks", None)],
+    )
+    args = parser.parse_args(argv)
+    cfg = Config.from_flags(args)
+    if cfg.epb is None and args.threads and args.elblocks:
+        cfg.epb = args.threads * args.elblocks
+    nq0, nq1, nq2 = args.nq0, args.nq1, args.nq2
+    nm_tot = (nq0 - 1) * (nq1 - 1) * (nq2 - 1)
+    nq_tot = nq0 * nq1 * nq2
+    reporter = Reporter("Benchmark05 : BwdTrans (3D)")
+    reporter.sweep_title(f"BwdTrans (NQ = {nq0}, {nq1}, {nq2})")
+    cap = cfg.mem_cap_bytes
+    for nelmt in cli.sweep(128, 1048576, args):
+        need = (2 * nm_tot + 3 * nq_tot +
+                (nq2 - 1) * (nq1 - 1) * nq0) * nelmt * cfg.itemsize
+        if need > cap:
+            reporter.note(f"b05: stopping sweep at nelmt {nelmt} (memory cap)")
+            break
+        run_test(nelmt, nq0, nq1, nq2, cfg, reporter)
+
+
+if __name__ == "__main__":
+    main()

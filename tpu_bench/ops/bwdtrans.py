@@ -114,6 +114,92 @@ def choose_epb(bytes_per_elem_col: int, nelmt_pad: int, epb: int = None,
     return e
 
 
+# ---- 3D (benchmark05) ---------------------------------------------------
+
+
+@dataclasses.dataclass
+class Basis3D:
+    nq0: int
+    nq1: int
+    nq2: int
+    b0: jax.Array  # (nm0, nq0)
+    b1: jax.Array  # (nm1, nq1)
+    b2: jax.Array  # (nm2, nq2)
+
+    @property
+    def nm0(self):
+        return self.nq0 - 1
+
+    @property
+    def nm1(self):
+        return self.nq1 - 1
+
+    @property
+    def nm2(self):
+        return self.nq2 - 1
+
+    @property
+    def nm_tot(self):
+        return self.nm0 * self.nm1 * self.nm2
+
+    @property
+    def nq_tot(self):
+        return self.nq0 * self.nq1 * self.nq2
+
+
+def make_basis3d(nq0: int, nq1: int, nq2: int, dtype) -> Basis3D:
+    return Basis3D(
+        nq0=nq0, nq1=nq1, nq2=nq2,
+        b0=initdata.host_basis_cos(nq0 - 1, nq0, dtype),
+        b1=initdata.host_basis_cos(nq1 - 1, nq1, dtype),
+        b2=initdata.host_basis_cos(nq2 - 1, nq2, dtype),
+    )
+
+
+def make_inputs3d(basis: Basis3D, nelmt: int, nelmt_pad: int, dtype):
+    """(in_em2 (E_pad, nmTot3), in_coa (nmTot3, E_pad)); rows flat (r,q,p)
+    with p minor, values sin(flat+1) (benchmark05/benchmark05.cc:666-672)."""
+    elem = jnp.asarray(native.init_sin1(basis.nm_tot), dtype=dtype)
+    in_em2 = jnp.tile(elem[None, :], (nelmt_pad, 1))
+    if nelmt_pad != nelmt:
+        mask = (jnp.arange(nelmt_pad) < nelmt)[:, None]
+        in_em2 = jnp.where(mask, in_em2, jnp.zeros((), dtype))
+    in_coa = jnp.asarray(in_em2.T)
+    return in_em2, in_coa
+
+
+def operators3d(basis: Basis3D):
+    """Operator matrices for the 3D matmul-form variants.
+
+    c_em3:  kron(B2, B1, B0)   (nmTot3, nqTot3)   single-GEMM form
+    c12t:   kron(B2^T, B1^T)   (nq2*nq1, nm2*nm1) pair-stage for the fused
+                                sum-factorization kernels (contract q,r)
+    s1/s2/s3_em: dense kron-structured per-stage operators (element-major)
+    """
+    b0, b1, b2 = basis.b0, basis.b1, basis.b2
+    c_em3 = jnp.kron(b2, jnp.kron(b1, b0))
+    c12t = jnp.kron(jnp.asarray(b2.T), jnp.asarray(b1.T))
+    s1_em = jnp.kron(jnp.eye(basis.nm2 * basis.nm1, dtype=b0.dtype), b0)
+    s2_em = jnp.kron(
+        jnp.eye(basis.nm2, dtype=b0.dtype),
+        jnp.kron(b1, jnp.eye(basis.nq0, dtype=b0.dtype)),
+    )
+    s3_em = jnp.kron(b2, jnp.eye(basis.nq1 * basis.nq0, dtype=b0.dtype))
+    return c_em3, c12t, s1_em, s2_em, s3_em
+
+
+def reference3d(basis: Basis3D, nelmt: int) -> np.ndarray:
+    """f64 oracle out (nelmt, nq2, nq1, nq0)."""
+    elem = native.init_sin1(basis.nm_tot)
+    inp = np.broadcast_to(elem, (nelmt, basis.nm_tot)).reshape(
+        nelmt, basis.nm2, basis.nm1, basis.nm0
+    )
+    b0 = native.init_cos(basis.nm0 * basis.nq0).reshape(basis.nm0, basis.nq0)
+    b1 = native.init_cos(basis.nm1 * basis.nq1).reshape(basis.nm1, basis.nq1)
+    b2 = native.init_cos(basis.nm2 * basis.nq2).reshape(basis.nm2, basis.nq2)
+    return native.bwdtrans3d_ref(inp, b0, b1, b2)
+
+
 # ---- f64 reference (test oracle plumbing) -------------------------------
 
 
