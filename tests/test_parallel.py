@@ -1,0 +1,43 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh: the sharded
+kron apply and the dp-sharded Pallas kernel must match single-device norms."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_bench.benchmarks import benchmark05 as b05
+from tpu_bench.core.validate import l2norm
+from tpu_bench.ops import bwdtrans
+from tpu_bench.parallel import mesh as pmesh
+
+
+@pytest.fixture
+def data(cfg64):
+    return b05.prepare(4, 4, 4, 512, cfg64)
+
+
+def test_sharded_kron_matches(data):
+    assert len(jax.devices()) == 8
+    m = pmesh.make_mesh()  # (dp=4, tp=2)
+    step = pmesh.sharded_kron_apply(m)
+    in_s, c_s = pmesh.shard_inputs(m, data["in_coa"], data["c_coa3"])
+    out, norm = step(in_s, c_s)
+    ref_norm = float(np.linalg.norm(bwdtrans.reference3d(data["basis"], 512)))
+    assert float(norm) == pytest.approx(ref_norm, rel=1e-10)
+    single = np.asarray(data["c_coa3"]) @ np.asarray(data["in_coa"])
+    np.testing.assert_allclose(np.asarray(out), single, rtol=1e-10)
+
+
+def test_sharded_pallas_elementwise(data, cfg64):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_bench.kernels import bwdtrans3d as pl_bt
+
+    m = pmesh.make_mesh(tp=1)  # pure dp over 8 devices
+    fn = functools.partial(pl_bt.qp_shared3d, epb=64, interpret=True)
+    make = pmesh.sharded_elementwise_apply(m, fn)
+    step = make(data["in_coa3"], data["b0t"], data["c12t"])
+    out, norm_sq = step(data["in_coa3"], data["b0t"], data["c12t"])
+    ref_norm = float(np.linalg.norm(bwdtrans.reference3d(data["basis"], 512)))
+    assert float(np.sqrt(norm_sq[0])) == pytest.approx(ref_norm, rel=1e-10)
