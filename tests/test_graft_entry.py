@@ -15,7 +15,7 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert out.shape[0] == 64  # nq^2 rows for nq=8
+    assert out.shape[0] == 8  # i-major output: nq0 leading planes for nq=8
 
 
 def test_dryrun_multichip():

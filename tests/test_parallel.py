@@ -37,7 +37,7 @@ def test_sharded_pallas_elementwise(data, cfg64):
     m = pmesh.make_mesh(tp=1)  # pure dp over 8 devices
     fn = functools.partial(pl_bt.qp_shared3d, epb=64, interpret=True)
     make = pmesh.sharded_elementwise_apply(m, fn)
-    step = make(data["in_coa3"], data["b0t"], data["c12t"])
-    out, norm_sq = step(data["in_coa3"], data["b0t"], data["c12t"])
+    step = make(data["in_pcoa3"], data["b0"], data["c12t"])
+    out, norm_sq = step(data["in_pcoa3"], data["b0"], data["c12t"])
     ref_norm = float(np.linalg.norm(bwdtrans.reference3d(data["basis"], 512)))
     assert float(np.sqrt(norm_sq[0])) == pytest.approx(ref_norm, rel=1e-10)

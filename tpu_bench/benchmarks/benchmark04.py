@@ -70,9 +70,9 @@ def build_variants(data, cfg):
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, epb),
          (data["in_coa"], data["c_coa"])),
         ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb),
-         (data["in_coa3"], data["b0t"], data["b1t"])),
+         (data["in_pcoa3"], data["b0"], data["b1t"])),
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb),
-         (data["in_coa3"], data["b0t"], data["b1t"])),
+         (data["in_pcoa3"], data["b0"], data["b1t"])),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb),
          (data["in_em2"], data["s1_em"], data["s2_em"])),
         ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared, cfg, epb),
@@ -105,6 +105,9 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         in_em3=in_em2.reshape(e_pad, nm1, nm0),
         in_coa=in_coa,
         in_coa3=in_coa.reshape(nm1, nm0, e_pad),
+        # p-major coalesced layout for the hybrid MXU/VPU QP kernels
+        in_pcoa3=jnp.asarray(
+            in_coa.reshape(nm1, nm0, e_pad).transpose(1, 0, 2)),
         b0=basis.b0,
         b1=basis.b1,
         b0t=jnp.asarray(basis.b0.T),

@@ -63,9 +63,9 @@ def build_variants(data, cfg):
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, data["epb_kron"]),
          (data["in_coa"], data["c_coa3"])),
         ("Pallas(QP)", _pl(pl_bt.qp_global3d, cfg, data["epb_qp"]),
-         (data["in_coa3"], data["b0t"], data["c12t"])),
+         (data["in_pcoa3"], data["b0"], data["c12t"])),
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared3d, cfg, data["epb_qp"]),
-         (data["in_coa3"], data["b0t"], data["c12t"])),
+         (data["in_pcoa3"], data["b0"], data["c12t"])),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global3d, cfg, data["epb_1d"]),
          (data["in_em2"], data["s1_em"], data["s2_em"], data["s3_em"])),
         ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared3d, cfg,
@@ -82,11 +82,13 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     nm0, nm1, nm2 = basis.nm0, basis.nm1, basis.nm2
     nm_tot, nq_tot = basis.nm_tot, basis.nq_tot
     it = cfg.itemsize
-    w1c = nm2 * nm1 * nq0
+    nkj = nq2 * nq1
     budget = 8 * 1024 * 1024
 
+    # fused QP working set: double-buffered in/out element streams plus one
+    # (nkj, epb) stage-1 plane in flight
     epb_qp = bwdtrans.choose_epb(
-        it * (2 * nm_tot + 2 * nq_tot + w1c), e_pad, cfg.epb, budget)
+        it * (2 * nm_tot + 2 * nq_tot + nkj), e_pad, cfg.epb, budget)
     epb_kron = bwdtrans.choose_epb(
         it * 2 * (nm_tot + nq_tot), e_pad, cfg.epb,
         max(budget - c_em3.size * it, 1 << 20))
@@ -108,6 +110,9 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         in_coa=in_coa,
         in_coa3=in_coa.reshape(nm2 * nm1, nm0, e_pad),
         in_coa4=in_coa.reshape(nm2, nm1, nm0, e_pad),
+        # p-major coalesced layout for the hybrid MXU/VPU QP kernels
+        in_pcoa3=jnp.asarray(
+            in_coa.reshape(nm2 * nm1, nm0, e_pad).transpose(1, 0, 2)),
         b0=basis.b0, b1=basis.b1, b2=basis.b2,
         b0t=jnp.asarray(basis.b0.T),
         c12t=c12t,

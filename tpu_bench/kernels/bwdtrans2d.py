@@ -37,6 +37,18 @@ def _dot(a, b, precision):
     return jnp.dot(a, b, preferred_element_type=a.dtype, precision=precision)
 
 
+def _parallel_params(interpret):
+    """Element-grid steps are independent: tell Mosaic so it can overlap
+    the in/out DMA pipeline across grid steps (interpret mode takes none)."""
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        )
+    }
+
+
 # ---- coalesced layout: (nm1, nm0, E) -> (nq1, nq0, E) -------------------
 
 
@@ -67,89 +79,102 @@ def kron_coalesced(in_coa, c_coa, *, epb, interpret=False, precision=HIGHEST):
     return out
 
 
-def _stage1_kernel(nm1, precision, b0t_ref, in_ref, out_ref):
-    # in: (nm1, nm0, EB); out: (nm1, nq0, EB): per-q MXU dot over modes p
-    for q in range(nm1):
-        out_ref[q] = _dot(b0t_ref[:], in_ref[q], precision)
+def _qp_fused_kernel(nm0, nq0, precision, b1t_ref, b0_ref, in_ref, out_ref):
+    for p in range(nm0):
+        # stage 1 (MXU): contract the q modes for mode p
+        tmp = _dot(b1t_ref[:], in_ref[p], precision)
+        # stage 2 (VPU): accumulate mode p into every output plane i
+        for i in range(nq0):
+            contrib = tmp * b0_ref[p, i]
+            if p == 0:
+                out_ref[i] = contrib
+            else:
+                out_ref[i] += contrib
 
 
-def _stage2_kernel(nq0, precision, b1t_ref, w_ref, out_ref):
-    # w: (nm1, nq0, EB); out: (nq1, nq0, EB): per-i MXU dot over modes q
-    for i in range(nq0):
-        out_ref[:, i, :] = _dot(b1t_ref[:], w_ref[:, i, :], precision)
-
-
-def qp_global(in_coa3, b0t, b1t, *, epb, interpret=False, precision=HIGHEST):
-    """Two pallas_calls with the stage workspace round-tripping via HBM
-    (the global-workspace QP analog, benchmark04/benchmark04.cc:149-204)."""
-    nm1, nm0, e = in_coa3.shape
-    nq0 = b0t.shape[0]
+def qp_shared(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
+    """Single fused kernel with on-chip workspaces (the __shared__-workspace
+    QP analog, benchmark04/benchmark04.cc:206-300): per p mode one MXU dot
+    contracting q, then VPU accumulation over p straight into the output
+    block.  Traffic-minimal: reads nmTot and writes nqTot values per
+    element.  Input is p-major coalesced (nm0, nm1, E); output is i-major
+    (nq0, nq1, E) — L2 norms are layout-invariant, which is what the
+    cross-variant validation compares."""
+    nm0, nm1, e = in_pcoa3.shape
+    nq0 = b0.shape[1]
     nq1 = b1t.shape[0]
     grid = (e // epb,)
-    w = pl.pallas_call(
-        functools.partial(_stage1_kernel, nm1, precision),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nq0, nm0), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nm1, nm0, epb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nm1, nq0, epb), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nm1, nq0, e), in_coa3.dtype),
-        interpret=interpret,
-    )(b0t, in_coa3)
     out = pl.pallas_call(
-        functools.partial(_stage2_kernel, nq0, precision),
+        functools.partial(_qp_fused_kernel, nm0, nq0, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nq1, nm1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nm1, nq0, epb), lambda i: (0, 0, i),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nm0, nm1, epb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nq1, nq0, epb), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((nq0, nq1, epb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nq1, nq0, e), in_coa3.dtype),
+        out_shape=jax.ShapeDtypeStruct((nq0, nq1, e), in_pcoa3.dtype),
         interpret=interpret,
-    )(b1t, w)
+        **_parallel_params(interpret),
+    )(b1t, b0, in_pcoa3)
     return out
 
 
-def _qp_shared_kernel(nm1, nq0, precision, b0t_ref, b1t_ref, in_ref, out_ref,
-                      w_ref):
-    for q in range(nm1):
-        w_ref[q] = _dot(b0t_ref[:], in_ref[q], precision)
+def _stage1_kernel(nm0, precision, b1t_ref, in_ref, w_ref):
+    # contract the q modes per p mode: w[p] = B1T @ in[p]
+    for p in range(nm0):
+        w_ref[p] = _dot(b1t_ref[:], in_ref[p], precision)
+
+
+def _stage2_kernel(nm0, nq0, b0_ref, w_ref, out_ref):
+    # contract p on the VPU: out[i] = sum_p w[p] * B0[p, i]
     for i in range(nq0):
-        out_ref[:, i, :] = _dot(b1t_ref[:], w_ref[:, i, :], precision)
+        acc = w_ref[0] * b0_ref[0, i]
+        for p in range(1, nm0):
+            acc += w_ref[p] * b0_ref[p, i]
+        out_ref[i] = acc
 
 
-def qp_shared(in_coa3, b0t, b1t, *, epb, interpret=False, precision=HIGHEST):
-    """Single fused kernel, stage workspace in VMEM scratch (the
-    __shared__-workspace QP analog, benchmark04/benchmark04.cc:206-300).
-    Traffic-minimal: reads nmTot and writes nqTot values per element."""
-    nm1, nm0, e = in_coa3.shape
-    nq0 = b0t.shape[0]
+def qp_global(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
+    """Same stage split as two pallas_calls with the stage-1 workspace
+    round-tripping via HBM (the global-workspace QP analog,
+    benchmark04/benchmark04.cc:149-204)."""
+    nm0, nm1, e = in_pcoa3.shape
+    nq0 = b0.shape[1]
     nq1 = b1t.shape[0]
     grid = (e // epb,)
-    out = pl.pallas_call(
-        functools.partial(_qp_shared_kernel, nm1, nq0, precision),
+    w = pl.pallas_call(
+        functools.partial(_stage1_kernel, nm0, precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nq0, nm0), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nq1, nm1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nm1, nm0, epb), lambda i: (0, 0, i),
+            pl.BlockSpec((nm0, nm1, epb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nq1, nq0, epb), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((nm0, nq1, epb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nq1, nq0, e), in_coa3.dtype),
-        scratch_shapes=[pltpu.VMEM((nm1, nq0, epb), in_coa3.dtype)],
+        out_shape=jax.ShapeDtypeStruct((nm0, nq1, e), in_pcoa3.dtype),
         interpret=interpret,
-    )(b0t, b1t, in_coa3)
+        **_parallel_params(interpret),
+    )(b1t, in_pcoa3)
+    out = pl.pallas_call(
+        functools.partial(_stage2_kernel, nm0, nq0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nm0, nq1, epb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq0, nq1, epb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq0, nq1, e), in_pcoa3.dtype),
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(b0, w)
     return out
 
 
