@@ -53,7 +53,9 @@ def _xla(fn, cfg):
 def build_variants(data, cfg):
     """Ordered (label, fn, args) for the 11-variant table; args[1] is the
     small operand the chained timer perturbs."""
-    epb = data["epb"]
+    epb = data["epb_kron"]
+    epb_qp = data["epb_qp"]
+    epb_1d = data["epb_1d"]
     return [
         ("XLA(Uncoales)", _xla(xla_bt.einsum_em, cfg),
          (data["in_em3"], data["b0"], data["b1"])),
@@ -69,13 +71,13 @@ def build_variants(data, cfg):
          (data["in_em2"], data["c_em"])),
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, epb),
          (data["in_coa"], data["c_coa"])),
-        ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb),
+        ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb_qp),
          (data["in_pcoa3"], data["b0"], data["b1t"])),
-        ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb),
+        ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb_qp),
          (data["in_pcoa3"], data["b0"], data["b1t"])),
-        ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb),
+        ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb_1d),
          (data["in_em2"], data["s1_em"], data["s2_em"])),
-        ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared, cfg, epb),
+        ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared, cfg, epb_1d),
          (data["in_em2"], data["s1_em"], data["s2_em"])),
     ]
 
@@ -96,7 +98,7 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     bytes_col = cfg.itemsize * (2 * basis.nm_tot + 2 * basis.nq_tot
                                 + nm1 * basis.nq0)
     epb = bwdtrans.choose_epb(bytes_col, e_pad, cfg.epb)
-    return dict(
+    data = dict(
         basis=basis,
         nelmt=nelmt,
         e_pad=e_pad,
@@ -117,6 +119,27 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         s1_em=s1_em,
         s2_em=s2_em,
     )
+    data["epb_kron"] = data["epb_qp"] = data["epb_1d"] = epb
+    if cfg.autotune and cfg.epb is None:
+        from tpu_bench.core import autotune as at
+
+        sig = f"nq{nq0}x{nq1}/e{min(e_pad, 2048)}"
+        data["epb_kron"] = at.autotune_epb(
+            "b04/kron", sig,
+            lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),
+                       (data["in_coa"], data["c_coa"])),
+            cfg, e_pad, default=epb)
+        data["epb_qp"] = at.autotune_epb(
+            "b04/qp", sig,
+            lambda e: (_pl(pl_bt.qp_shared, cfg, e),
+                       (data["in_pcoa3"], data["b0"], data["b1t"])),
+            cfg, e_pad, default=epb)
+        data["epb_1d"] = at.autotune_epb(
+            "b04/1d", sig,
+            lambda e: (_pl(pl_bt.qp1d_shared, cfg, e),
+                       (data["in_em2"], data["s1_em"], data["s2_em"])),
+            cfg, e_pad, default=epb)
+    return data
 
 
 def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,

@@ -98,7 +98,7 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         it * (2 * nm_tot + 2 * nq_tot + w_cols), e_pad, cfg.epb,
         max(budget - ops_bytes, 1 << 20))
 
-    return dict(
+    data = dict(
         basis=basis,
         nelmt=nelmt,
         e_pad=e_pad,
@@ -120,6 +120,27 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         c_coa3=jnp.asarray(c_em3.T),
         s1_em=s1_em, s2_em=s2_em, s3_em=s3_em,
     )
+    if cfg.autotune and cfg.epb is None:
+        from tpu_bench.core import autotune as at
+
+        sig = f"nq{nq0}x{nq1}x{nq2}/e{min(e_pad, 2048)}"
+        data["epb_qp"] = at.autotune_epb(
+            "b05/qp", sig,
+            lambda e: (_pl(pl_bt.qp_shared3d, cfg, e),
+                       (data["in_pcoa3"], data["b0"], data["c12t"])),
+            cfg, e_pad, default=epb_qp)
+        data["epb_kron"] = at.autotune_epb(
+            "b05/kron", sig,
+            lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),
+                       (data["in_coa"], data["c_coa3"])),
+            cfg, e_pad, default=epb_kron)
+        data["epb_1d"] = at.autotune_epb(
+            "b05/1d", sig,
+            lambda e: (_pl(pl_bt.qp1d_shared3d, cfg, e),
+                       (data["in_em2"], data["s1_em"], data["s2_em"],
+                        data["s3_em"])),
+            cfg, e_pad, default=epb_1d)
+    return data
 
 
 def run_test(nelmt: int, nq0: int, nq1: int, nq2: int, cfg: Config,

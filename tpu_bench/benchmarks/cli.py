@@ -22,6 +22,10 @@ def build_parser(name: str, positionals=()) -> argparse.ArgumentParser:
                    help="repetitions per variant; min is kept (reference: 40)")
     p.add_argument("--epb", type=int, default=None,
                    help="elements per Pallas program (threads/elblocks analog)")
+    p.add_argument("--autotune", action="store_true",
+                   help="pick epb empirically per variant family (memoized "
+                        "in ~/.cache/tpu_bench_autotune.json) instead of the "
+                        "analytic VMEM-budget model")
     p.add_argument("--precision", choices=["default", "high", "highest"],
                    default="highest",
                    help="MXU precision for f32 contractions")

@@ -69,6 +69,7 @@ class Config:
     mem_fraction: float = 0.55  # fraction of device memory a sweep size may use
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     validate: bool = True  # cross-variant norm agreement checks
+    autotune: bool = False  # empirical epb selection (core/autotune.py)
     # "dispatch" = reference-faithful per-dispatch timing; "chained" =
     # latency-cancelling k-application chains (see core/timing.py); "auto"
     # picks chained when the host<->device sync round-trip exceeds 1 ms.
@@ -106,5 +107,6 @@ class Config:
             epb=args.epb,
             precision=precision,
             validate=not args.no_validate,
+            autotune=getattr(args, "autotune", False),
             timing=args.timing,
         )
