@@ -67,7 +67,8 @@ def build_variants(data, cfg):
          (data["in_em3"], data["b0"], data["b1"])),
         ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg),
          (data["in_coa"], data["c_coa"])),
-        ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg, epb),
+        ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
+                                 data["epb_em"]),
          (data["in_em2"], data["c_em"])),
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, epb),
          (data["in_coa"], data["c_coa"])),
@@ -95,9 +96,16 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     in_em2, in_coa = bwdtrans.make_inputs2d(basis, nelmt, e_pad, cfg.dtype)
     c_em, s1_em, s2_em = bwdtrans.operators2d(basis)
     nm1, nm0 = basis.nm1, basis.nm0
-    bytes_col = cfg.itemsize * (2 * basis.nm_tot + 2 * basis.nq_tot
+    budget = 14 * 1024 * 1024
+    pad = bwdtrans.pad_lanes
+    # coalesced blocks: elements on the lane axis, no tile padding
+    bytes_coa = cfg.itemsize * (2 * basis.nm_tot + 2 * basis.nq_tot
                                 + nm1 * basis.nq0)
-    epb = bwdtrans.choose_epb(bytes_col, e_pad, cfg.epb)
+    epb = bwdtrans.choose_epb(bytes_coa, e_pad, cfg.epb, budget)
+    # element-major blocks: the mode axis is the lane dim and pads to 128
+    bytes_em = cfg.itemsize * (2 * pad(basis.nm_tot) + 2 * pad(basis.nq_tot)
+                               + pad(s1_em.shape[1]))
+    epb_em = bwdtrans.choose_epb(bytes_em, e_pad, cfg.epb, budget)
     data = dict(
         basis=basis,
         nelmt=nelmt,
@@ -119,7 +127,8 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         s1_em=s1_em,
         s2_em=s2_em,
     )
-    data["epb_kron"] = data["epb_qp"] = data["epb_1d"] = epb
+    data["epb_kron"] = data["epb_qp"] = epb
+    data["epb_em"] = data["epb_1d"] = epb_em
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 
@@ -138,7 +147,7 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             "b04/1d", sig,
             lambda e: (_pl(pl_bt.qp1d_shared, cfg, e),
                        (data["in_em2"], data["s1_em"], data["s2_em"])),
-            cfg, e_pad, default=epb)
+            cfg, e_pad, default=epb_em)
     return data
 
 

@@ -58,7 +58,7 @@ def build_variants(data, cfg):
         ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg),
          (data["in_coa"], data["c_coa3"])),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
-                                 data["epb_kron"]),
+                                 data["epb_em"]),
          (data["in_em2"], data["c_em3"])),
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, data["epb_kron"]),
          (data["in_coa"], data["c_coa3"])),
@@ -86,16 +86,24 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     budget = 8 * 1024 * 1024
 
     # fused QP working set: double-buffered in/out element streams plus one
-    # (nkj, epb) stage-1 plane in flight
+    # (nkj, epb) stage-1 plane in flight — no VMEM scratch, so it can use
+    # most of the 16 MB scoped-vmem window (measured: epb 2048 > 1024 > 512
+    # at nq=8^3 on v5e)
     epb_qp = bwdtrans.choose_epb(
-        it * (2 * nm_tot + 2 * nq_tot + nkj), e_pad, cfg.epb, budget)
+        it * (2 * nm_tot + 2 * nq_tot + nkj), e_pad, cfg.epb,
+        14 * 1024 * 1024)
     epb_kron = bwdtrans.choose_epb(
         it * 2 * (nm_tot + nq_tot), e_pad, cfg.epb,
         max(budget - c_em3.size * it, 1 << 20))
+    pad = bwdtrans.pad_lanes
+    # element-major blocks pad the mode axis to the 128-lane tile
+    epb_em = bwdtrans.choose_epb(
+        it * 2 * (pad(nm_tot) + pad(nq_tot)), e_pad, cfg.epb,
+        max(budget - c_em3.size * it, 1 << 20))
     ops_bytes = (s1_em.size + s2_em.size + s3_em.size) * it
-    w_cols = s1_em.shape[1] + s2_em.shape[1]
+    w_cols = pad(s1_em.shape[1]) + pad(s2_em.shape[1])
     epb_1d = bwdtrans.choose_epb(
-        it * (2 * nm_tot + 2 * nq_tot + w_cols), e_pad, cfg.epb,
+        it * (2 * pad(nm_tot) + 2 * pad(nq_tot) + w_cols), e_pad, cfg.epb,
         max(budget - ops_bytes, 1 << 20))
 
     data = dict(
@@ -104,6 +112,7 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         e_pad=e_pad,
         epb_qp=epb_qp,
         epb_kron=epb_kron,
+        epb_em=epb_em,
         epb_1d=epb_1d,
         in_em2=in_em2,
         in_em4=in_em2.reshape(e_pad, nm2, nm1, nm0),

@@ -68,7 +68,7 @@ def device_kind() -> str:
         return "unknown"
 
 
-def epb_candidates(e_pad: int, lo: int = 128, hi: int = 2048) -> list:
+def epb_candidates(e_pad: int, lo: int = 128, hi: int = 8192) -> list:
     """Powers of two in [lo, hi] that divide the padded element count."""
     out = []
     c = lo

@@ -44,6 +44,7 @@ def _tiled_map2(x, y, kernel, *, lanes, target_rows, interpret):
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         input_output_aliases={0: 0},  # in-place: x is donated to the output
         interpret=interpret,
+        **common.grid_semantics("parallel", interpret=interpret),
     )(x2, y2)
     return out.reshape(x.shape)
 

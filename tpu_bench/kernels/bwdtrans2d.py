@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_bench.kernels import common
+
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -40,13 +42,7 @@ def _dot(a, b, precision):
 def _parallel_params(interpret):
     """Element-grid steps are independent: tell Mosaic so it can overlap
     the in/out DMA pipeline across grid steps (interpret mode takes none)."""
-    if interpret:
-        return {}
-    return {
-        "compiler_params": pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
-        )
-    }
+    return common.grid_semantics("parallel", interpret=interpret)
 
 
 # ---- coalesced layout: (nm1, nm0, E) -> (nq1, nq0, E) -------------------
@@ -75,6 +71,7 @@ def kron_coalesced(in_coa, c_coa, *, epb, interpret=False, precision=HIGHEST):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nq_tot, e), in_coa.dtype),
         interpret=interpret,
+        **_parallel_params(interpret),
     )(c_coa, in_coa)
     return out
 
@@ -204,6 +201,7 @@ def kron_elem_major(in_em2, c_em, *, epb, interpret=False, precision=HIGHEST):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((e, nq_tot), in_em2.dtype),
         interpret=interpret,
+        **_parallel_params(interpret),
     )(c_em, in_em2)
     return out
 
@@ -238,6 +236,7 @@ def qp1d_shared(in_em2, s1_em, s2_em, *, epb, interpret=False,
         out_shape=jax.ShapeDtypeStruct((e, nq_tot), in_em2.dtype),
         scratch_shapes=[pltpu.VMEM((epb, w_cols), in_em2.dtype)],
         interpret=interpret,
+        **_parallel_params(interpret),
     )(s1_em, s2_em, in_em2)
     return out
 
@@ -261,6 +260,7 @@ def _one_stage_em(x, s, *, epb, interpret, precision):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((e, n), x.dtype),
         interpret=interpret,
+        **_parallel_params(interpret),
     )(s, x)
     return out
 

@@ -180,6 +180,7 @@ def qp1d_shared3d(in_em2, s1_em, s2_em, s3_em, *, epb, interpret=False,
             pltpu.VMEM((epb, w2c), in_em2.dtype),
         ],
         interpret=interpret,
+        **_parallel_params(interpret),
     )(s1_em, s2_em, s3_em, in_em2)
     return out
 

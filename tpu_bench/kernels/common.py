@@ -3,9 +3,22 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # TPU lane width: minor dim of every VPU/MXU tile
 SUBLANES = 8  # f32 sublane count of one (8, 128) VPU tile
+
+
+def grid_semantics(*dims: str, interpret: bool = False) -> dict:
+    """compiler_params kwargs declaring each grid dim "parallel" (grid steps
+    own disjoint blocks — Mosaic may overlap their DMA pipelines) or
+    "arbitrary" (steps revisit a block, e.g. accumulators — must stay in
+    order).  Interpret mode (CPU tests) takes no compiler params."""
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(dimension_semantics=dims)
+    }
 
 
 def pow2_rows(total_rows: int, target: int) -> int:

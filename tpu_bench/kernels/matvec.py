@@ -57,6 +57,8 @@ def matvec_vpu(a, x, *, bm=256, bn=2048, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 1), a.dtype),
         interpret=interpret,
+        **common.grid_semantics("parallel", "arbitrary",
+                                interpret=interpret),
     )(a, x2)
     return out.reshape(m)
 
@@ -87,5 +89,6 @@ def matvec_mxu(a, x, *, bm=64, interpret=False,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 1), a.dtype),
         interpret=interpret,
+        **common.grid_semantics("parallel", interpret=interpret),
     )(a, xc)
     return out.reshape(m)

@@ -84,6 +84,7 @@ def transform_reduce_two_pass(x, eps, f: Callable, *, lanes=128,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid, 8, 128), acc),
         interpret=interpret,
+        **common.grid_semantics("parallel", interpret=interpret),
     )(_eps2d(eps, x.dtype), x2)
     total = pl.pallas_call(
         _sum_kernel,
@@ -124,6 +125,8 @@ def transform_reduce_one_pass(x, eps, f: Callable, *, lanes=128,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), acc),
         interpret=interpret,
+        # the single output block is revisited by every grid step: ordered
+        **common.grid_semantics("arbitrary", interpret=interpret),
     )(_eps2d(eps, x.dtype), x2)
     return total[0, 0]
 

