@@ -33,6 +33,9 @@ def build_parser(name: str, positionals=()) -> argparse.ArgumentParser:
                    help="override sweep lower bound")
     p.add_argument("--max-size", type=int, default=None,
                    help="override sweep upper bound (inclusive)")
+    p.add_argument("--step", type=int, default=2,
+                   help="geometric sweep factor (reference: x2; larger "
+                        "values thin the sweep for quicker runs)")
     p.add_argument("--no-validate", action="store_true",
                    help="skip cross-variant norm agreement asserts")
     p.add_argument("--timing", choices=["auto", "dispatch", "chained"],
@@ -43,10 +46,11 @@ def build_parser(name: str, positionals=()) -> argparse.ArgumentParser:
 
 
 def sweep(default_min: int, default_max: int, args):
-    """Geometric x2 sweep like the reference mains (benchmark01.cc:343)."""
+    """Geometric sweep like the reference mains (benchmark01.cc:343)."""
     lo = args.min_size or default_min
     hi = args.max_size or default_max
+    step = max(2, getattr(args, "step", 2))
     size = lo
     while size <= hi:
         yield size
-        size *= 2
+        size *= step
