@@ -83,11 +83,12 @@ def main(argv=None):
     cfg = Config.from_flags(args)
     reporter = Reporter("Benchmark01 : L2 norm reduction")
     cap = cfg.mem_cap_bytes
-    for size in cli.sweep(1024, 536870912, args):
-        if size * cfg.itemsize > cap:
-            reporter.note(f"b01: stopping sweep at size {size} (memory cap)")
-            break
-        run_test(size, cfg, reporter)
+    with cli.profiled(args):
+        for size in cli.sweep(1024, 536870912, args):
+            if size * cfg.itemsize > cap:
+                reporter.note(f"b01: stopping sweep at size {size} (memory cap)")
+                break
+            run_test(size, cfg, reporter)
 
 
 if __name__ == "__main__":

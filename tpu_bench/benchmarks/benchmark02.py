@@ -139,11 +139,12 @@ def main(argv=None):
     cfg = Config.from_flags(args)
     reporter = Reporter("Benchmark02 : Vector Addition")
     cap = cfg.mem_cap_bytes
-    for size in cli.sweep(1024, 536870912, args):
-        if 4 * size * cfg.itemsize > cap:  # y + x + warmup scratch + slack
-            reporter.note(f"b02: stopping sweep at size {size} (memory cap)")
-            break
-        run_test(size, cfg, reporter)
+    with cli.profiled(args):
+        for size in cli.sweep(1024, 536870912, args):
+            if 4 * size * cfg.itemsize > cap:  # y + x + warmup scratch + slack
+                reporter.note(f"b02: stopping sweep at size {size} (memory cap)")
+                break
+            run_test(size, cfg, reporter)
 
 
 if __name__ == "__main__":

@@ -81,11 +81,12 @@ def main(argv=None):
     cfg = Config.from_flags(args)
     reporter = Reporter("Benchmark03 : Matrix-Vector Mult")
     cap = cfg.mem_cap_bytes
-    for size in cli.sweep(128, 16384, args):
-        if 3 * size * size * cfg.itemsize > cap:  # A + A^T + slack
-            reporter.note(f"b03: stopping sweep at size {size} (memory cap)")
-            break
-        run_test(size, cfg, reporter)
+    with cli.profiled(args):
+        for size in cli.sweep(128, 16384, args):
+            if 3 * size * size * cfg.itemsize > cap:  # A + A^T + slack
+                reporter.note(f"b03: stopping sweep at size {size} (memory cap)")
+                break
+            run_test(size, cfg, reporter)
 
 
 if __name__ == "__main__":

@@ -192,12 +192,13 @@ def main(argv=None):
     reporter.sweep_title(f"BwdTrans (NQ = {nq0}, {nq1})")
     cap = cfg.mem_cap_bytes
     nm_tot, nq_tot = nm0 * nm1, nq0 * nq1
-    for nelmt in cli.sweep(128, 1048576, args):
-        need = (2 * nm_tot + 3 * nq_tot + nm1 * nq0) * nelmt * cfg.itemsize
-        if need > cap:
-            reporter.note(f"b04: stopping sweep at nelmt {nelmt} (memory cap)")
-            break
-        run_test(nelmt, nq0, nq1, cfg, reporter)
+    with cli.profiled(args):
+        for nelmt in cli.sweep(128, 1048576, args):
+            need = (2 * nm_tot + 3 * nq_tot + nm1 * nq0) * nelmt * cfg.itemsize
+            if need > cap:
+                reporter.note(f"b04: stopping sweep at nelmt {nelmt} (memory cap)")
+                break
+            run_test(nelmt, nq0, nq1, cfg, reporter)
 
 
 if __name__ == "__main__":

@@ -193,13 +193,14 @@ def main(argv=None):
     reporter = Reporter("Benchmark05 : BwdTrans (3D)")
     reporter.sweep_title(f"BwdTrans (NQ = {nq0}, {nq1}, {nq2})")
     cap = cfg.mem_cap_bytes
-    for nelmt in cli.sweep(128, 1048576, args):
-        need = (2 * nm_tot + 3 * nq_tot +
-                (nq2 - 1) * (nq1 - 1) * nq0) * nelmt * cfg.itemsize
-        if need > cap:
-            reporter.note(f"b05: stopping sweep at nelmt {nelmt} (memory cap)")
-            break
-        run_test(nelmt, nq0, nq1, nq2, cfg, reporter)
+    with cli.profiled(args):
+        for nelmt in cli.sweep(128, 1048576, args):
+            need = (2 * nm_tot + 3 * nq_tot +
+                    (nq2 - 1) * (nq1 - 1) * nq0) * nelmt * cfg.itemsize
+            if need > cap:
+                reporter.note(f"b05: stopping sweep at nelmt {nelmt} (memory cap)")
+                break
+            run_test(nelmt, nq0, nq1, nq2, cfg, reporter)
 
 
 if __name__ == "__main__":

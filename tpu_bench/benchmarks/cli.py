@@ -42,7 +42,23 @@ def build_parser(name: str, positionals=()) -> argparse.ArgumentParser:
                    default="auto",
                    help="dispatch = reference-faithful per-launch timing; "
                         "chained = latency-cancelling kernel chains")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the sweep to DIR "
+                        "(view with tensorboard/xprof; SURVEY.md §5.1)")
     return p
+
+
+def profiled(args):
+    """Context manager wrapping a sweep in jax.profiler.trace when
+    --profile DIR was given (the reference has no tracer at all — this is
+    the additive TPU observability hook, SURVEY.md §5.1)."""
+    import contextlib
+
+    if getattr(args, "profile", None):
+        import jax
+
+        return jax.profiler.trace(args.profile)
+    return contextlib.nullcontext()
 
 
 def sweep(default_min: int, default_max: int, args):
