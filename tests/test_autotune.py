@@ -60,3 +60,14 @@ def test_autotune_cli_flag(cfg32):
     assert Config.from_flags(args).autotune
     args = cli.build_parser("b04").parse_args([])
     assert not Config.from_flags(args).autotune
+
+
+def test_step_flag():
+    from tpu_bench.benchmarks import cli
+
+    args = cli.build_parser("b01").parse_args(["--step", "8",
+                                               "--min-size", "1024",
+                                               "--max-size", "65536"])
+    assert list(cli.sweep(128, 1 << 20, args)) == [1024, 8192, 65536]
+    args = cli.build_parser("b01").parse_args([])
+    assert list(cli.sweep(128, 1024, args)) == [128, 256, 512, 1024]
