@@ -34,9 +34,9 @@ from tpu_bench.baselines import bwdtrans2d as xla_bt
 from tpu_bench.core.config import Config
 from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.timing import eps_chain, measure
+from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
-                                     l2norm)
+                                     measure_checked)
 from tpu_bench.kernels import bwdtrans2d as pl_bt
 from tpu_bench.ops import bwdtrans, initdata
 
@@ -102,10 +102,12 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     bytes_coa = cfg.itemsize * (2 * basis.nm_tot + 2 * basis.nq_tot
                                 + nm1 * basis.nq0)
     epb = bwdtrans.choose_epb(bytes_coa, e_pad, cfg.epb, budget)
-    # element-major blocks: the mode axis is the lane dim and pads to 128
+    # element-major blocks: the mode axis is the lane dim and pads to 128;
+    # halved budget — Mosaic's scoped-vmem stack for these runs ~2x the
+    # double-buffered block model (observed at nq=16 on v5e)
     bytes_em = cfg.itemsize * (2 * pad(basis.nm_tot) + 2 * pad(basis.nq_tot)
                                + pad(s1_em.shape[1]))
-    epb_em = bwdtrans.choose_epb(bytes_em, e_pad, cfg.epb, budget)
+    epb_em = bwdtrans.choose_epb(bytes_em, e_pad, cfg.epb, budget // 2)
     data = dict(
         basis=basis,
         nelmt=nelmt,
@@ -158,11 +160,10 @@ def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,
 
     times, norms = [], []
     for label, fn, args in build_variants(data, cfg):
-        t = measure(fn, args, cfg, chain_fn=eps_chain(fn, eps_arg=1))
-        out = fn(*args)
-        norms.append(l2norm(out))
-        del out
+        t, norm = measure_checked(label, fn, args, cfg, reporter,
+                                  chain_fn=eps_chain(fn, eps_arg=1))
         times.append(t)
+        norms.append(norm)
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),

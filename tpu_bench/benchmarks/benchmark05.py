@@ -22,9 +22,9 @@ import jax.numpy as jnp
 from tpu_bench.baselines import bwdtrans3d as xla_bt
 from tpu_bench.core.config import Config
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.timing import eps_chain, measure
+from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
-                                     l2norm)
+                                     measure_checked)
 from tpu_bench.kernels import bwdtrans3d as pl_bt
 from tpu_bench.ops import bwdtrans, initdata
 
@@ -96,10 +96,11 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         it * 2 * (nm_tot + nq_tot), e_pad, cfg.epb,
         max(budget - c_em3.size * it, 1 << 20))
     pad = bwdtrans.pad_lanes
-    # element-major blocks pad the mode axis to the 128-lane tile
+    # element-major blocks pad the mode axis to the 128-lane tile; halved
+    # budget for Mosaic's ~2x scoped-vmem stack factor (see benchmark04)
     epb_em = bwdtrans.choose_epb(
         it * 2 * (pad(nm_tot) + pad(nq_tot)), e_pad, cfg.epb,
-        max(budget - c_em3.size * it, 1 << 20))
+        max(budget // 2 - c_em3.size * it, 1 << 20))
     ops_bytes = (s1_em.size + s2_em.size + s3_em.size) * it
     w_cols = pad(s1_em.shape[1]) + pad(s2_em.shape[1])
     epb_1d = bwdtrans.choose_epb(
@@ -159,11 +160,10 @@ def run_test(nelmt: int, nq0: int, nq1: int, nq2: int, cfg: Config,
 
     times, norms = [], []
     for label, fn, args in build_variants(data, cfg):
-        t = measure(fn, args, cfg, chain_fn=eps_chain(fn, eps_arg=1))
-        out = fn(*args)
-        norms.append(l2norm(out))
-        del out
+        t, norm = measure_checked(label, fn, args, cfg, reporter,
+                                  chain_fn=eps_chain(fn, eps_arg=1))
         times.append(t)
+        norms.append(norm)
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),

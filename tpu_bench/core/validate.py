@@ -49,17 +49,40 @@ def check_norm_agreement(
     Returns a list of human-readable mismatch strings (empty = all agree).
     Mirrors the reference's cross-variant norm columns
     (benchmark04/benchmark04.cc:1033-1041), asserted instead of eyeballed.
+    NaN norms mark variants that failed to run (already reported) and are
+    skipped.
     """
     mismatches = []
     ref = norms[0]
     scale = max(abs(ref), 1e-300)
     for label, n in zip(labels[1:], norms[1:]):
+        if n != n:  # NaN: variant failed, reported by measure_checked
+            continue
         if abs(n - ref) / scale > rtol:
             mismatches.append(
                 f"{context} norm mismatch: {labels[0]}={ref!r} vs {label}={n!r} "
                 f"(rtol {rtol})"
             )
     return mismatches
+
+
+def measure_checked(label, fn, args, cfg, reporter, **measure_kwargs):
+    """(seconds, norm) for one variant, isolating failures: a variant that
+    cannot compile or run at this size (e.g. a VMEM-overflowing block shape)
+    reports (inf, nan) — a 0 entry in the throughput column — instead of
+    killing the remaining 10 columns of the sweep row."""
+    from tpu_bench.core.timing import measure
+
+    try:
+        t = measure(fn, args, cfg, **measure_kwargs)
+        out = fn(*args)
+        norm = l2norm(out)
+        del out
+        return t, norm
+    except Exception as ex:  # fail-soft per variant, loudly reported
+        first = str(ex).splitlines()[0][:300] if str(ex) else repr(ex)
+        reporter.note(f"WARNING: variant {label} failed: {first}")
+        return float("inf"), float("nan")
 
 
 def default_rtol(dtype) -> float:
