@@ -50,3 +50,17 @@ def test_odd_nelmt_padding(cfg64):
     for label, fn, args in b04.build_variants(data, cfg64):
         got = l2norm(fn(*args))
         assert got == pytest.approx(ref_norm, rel=1e-10), label
+
+
+def test_bf16_agreement():
+    """bf16 halves HBM traffic; norms agree within the bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from tpu_bench.core.config import Config
+    from tpu_bench.core.validate import l2norm
+
+    cfg = Config(dtype=jnp.bfloat16, n_tests=2)
+    data = b04.prepare(4, 4, 128, cfg)
+    norms = [l2norm(fn(*args)) for _, fn, args in b04.build_variants(data, cfg)]
+    for label, n in zip(b04.LABELS[1:], norms[1:]):
+        assert n == pytest.approx(norms[0], rel=5e-2), label
