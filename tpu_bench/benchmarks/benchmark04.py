@@ -102,6 +102,14 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     bytes_coa = cfg.itemsize * (2 * basis.nm_tot + 2 * basis.nq_tot
                                 + nm1 * basis.nq0)
     epb = bwdtrans.choose_epb(bytes_coa, e_pad, cfg.epb, budget)
+    # kron tier keeps the dense (nqTot, nmTot) operator resident, and
+    # Mosaic buffers it twice: charge 2x its bytes against the window
+    # (observed 16.96M scoped OOM at nq=32 without this)
+    kron_budget = max(11 * 1024 * 1024
+                      - 2 * c_em.size * cfg.itemsize, 1 << 20)
+    epb_kron = bwdtrans.choose_epb(
+        cfg.itemsize * 2 * (basis.nm_tot + basis.nq_tot), e_pad, cfg.epb,
+        kron_budget)
     # element-major blocks: the mode axis is the lane dim and pads to 128;
     # halved budget — Mosaic's scoped-vmem stack for these runs ~2x the
     # double-buffered block model (observed at nq=16 on v5e)
@@ -129,7 +137,8 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         s1_em=s1_em,
         s2_em=s2_em,
     )
-    data["epb_kron"] = data["epb_qp"] = epb
+    data["epb_qp"] = epb
+    data["epb_kron"] = epb_kron
     data["epb_em"] = data["epb_1d"] = epb_em
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at

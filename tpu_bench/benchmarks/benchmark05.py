@@ -92,9 +92,11 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     epb_qp = bwdtrans.choose_epb(
         it * (2 * nm_tot + 2 * nq_tot + nkj), e_pad, cfg.epb,
         14 * 1024 * 1024)
+    # kron tier: the dense operator is resident and Mosaic buffers it
+    # twice — charge 2x its bytes (see benchmark04)
     epb_kron = bwdtrans.choose_epb(
         it * 2 * (nm_tot + nq_tot), e_pad, cfg.epb,
-        max(budget - c_em3.size * it, 1 << 20))
+        max(11 * 1024 * 1024 - 2 * c_em3.size * it, 1 << 20))
     pad = bwdtrans.pad_lanes
     # element-major blocks pad the mode axis to the 128-lane tile; halved
     # budget for Mosaic's ~2x scoped-vmem stack factor (see benchmark04)

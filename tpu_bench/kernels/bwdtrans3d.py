@@ -4,18 +4,17 @@ Reference: six CUDA hex kernels with three contraction stages and two
 inter-stage workspaces (benchmark05/benchmark05.cc:15-617).  TPU-native
 design (same taxonomy as bwdtrans2d, one extra stage):
 
-The fused QP kernels factor the contraction asymmetrically across the two
-compute units: stage 1 contracts the (r, q) mode pair jointly against
-kron(B2^T, B1^T) — one well-shaped MXU dot (nq2*nq1 x nm2*nm1 operator,
-element block on the lanes) per p mode — and stage 2 contracts the
-remaining p modes on the VPU as scalar-weighted accumulations into the
-output block.  Versus a literal 3-stage sum-factorization (dozens of
-K=nm-sized MXU issues per block) this trades a small FLOP increase for
-~nm0 MXU issues per block, each with a K = nm2*nm1 contraction depth, and
-keeps the inter-stage workspace entirely in registers/VMEM.  Measured on
-v5e at nq=8^3: 63.6 GDOF/s vs 38.2 for the per-(r,q)-dot formulation —
-within ~77% of the 819 GB/s HBM roofline for the 343-in/512-out f32
-element stream.
+The fused QP kernel factors the contraction asymmetrically across the two
+compute units: the nm0 leading modes are combined on the VPU with scalar
+basis weights (a tiny nrq-row intermediate per output plane), and the
+(r, q) mode pair is contracted jointly against kron(B2^T, B1^T) — one
+well-shaped MXU dot (nq2*nq1 x nm2*nm1 operator, K = nm2*nm1 deep, element
+block on the lanes) per output plane, written exactly once.  Versus a
+literal 3-stage sum-factorization (dozens of K=nm-sized MXU issues per
+block) this trades a small FLOP increase for nq0 well-shaped MXU issues
+per block with every intermediate in registers.  Measured on v5e at
+nq=8^3: 66 GDOF/s vs 38 for the per-(r,q)-dot formulation — ~80% of the
+819 GB/s HBM roofline for the 343-in/512-out f32 element stream.
 
 Input layout for the QP kernels is p-major "coalesced": (nm0, nm2*nm1, E)
 with the element index on the 128-lane minor axis; output is i-major
@@ -44,23 +43,25 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 def _qp_fused_kernel3d(nm0, nq0, precision, c12t_ref, b0_ref, in_ref,
                        out_ref):
-    for p in range(nm0):
-        # stage 1 (MXU): contract the (r, q) pair for mode p
-        tmp = _dot(c12t_ref[:], in_ref[p], precision)
-        # stage 2 (VPU): accumulate mode p into every output plane i
-        for i in range(nq0):
-            contrib = tmp * b0_ref[p, i]
-            if p == 0:
-                out_ref[i] = contrib
-            else:
-                out_ref[i] += contrib
+    # "v-first" stage order: for each output plane i, combine the p modes
+    # of the INPUT on the VPU (nrq-row intermediate, lives in vregs), then
+    # one MXU pair-contraction per plane, written exactly once —
+    #     out[i] = C12T @ (sum_p B0[p, i] * in[p])
+    # vs accumulating planes (read-modify-write of the nqTot-sized output
+    # block per p) this halves on-chip traffic: measured 66 vs 58 GDOF/s
+    # at nq=8^3 on v5e.
+    for i in range(nq0):
+        v = in_ref[0] * b0_ref[0, i]
+        for p in range(1, nm0):
+            v += in_ref[p] * b0_ref[p, i]
+        out_ref[i] = _dot(c12t_ref[:], v, precision)
 
 
 def qp_shared3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
                 precision=HIGHEST):
     """Fused 3-stage contraction with on-chip workspaces (the __shared__ QP
-    hex analog, benchmark05/benchmark05.cc:291-429): MXU pair-contraction
-    per p mode, VPU accumulation over p directly into the output block."""
+    hex analog, benchmark05/benchmark05.cc:291-429): VPU combination of the
+    p modes per output plane, one MXU pair-contraction per plane."""
     nm0, nrq, e = in_pcoa3.shape       # nrq = nm2*nm1
     nq0 = b0.shape[1]
     nkj = c12t.shape[0]                # nq2*nq1
