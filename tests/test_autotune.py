@@ -1,9 +1,6 @@
 """epb autotuner: candidate generation, empirical pick, disk memoization."""
 
 import json
-import os
-
-import pytest
 
 from tpu_bench.core import autotune as at
 

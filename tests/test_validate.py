@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from tpu_bench.core import validate
-from tpu_bench.core.config import Config
 from tpu_bench.core.reporting import Reporter
 
 

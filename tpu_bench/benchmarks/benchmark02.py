@@ -21,7 +21,6 @@ Variant mapping:
 from __future__ import annotations
 
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ from tpu_bench.baselines import axpy as xla_axpy
 from tpu_bench.core.config import Config
 from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.timing import sync_latency, time_chained, time_variant
+from tpu_bench.core.timing import sync_latency, time_chained
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      l2norm)
 from tpu_bench.kernels import axpy as pl_axpy

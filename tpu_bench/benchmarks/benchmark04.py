@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from tpu_bench.baselines import bwdtrans2d as xla_bt
 from tpu_bench.core.config import Config
-from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,

@@ -23,7 +23,6 @@ picks chained when the measured sync latency exceeds 1 ms.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, Optional, Sequence
 

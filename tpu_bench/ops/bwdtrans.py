@@ -25,8 +25,6 @@ Operator matrices (device-built, untimed prep):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ communication.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
