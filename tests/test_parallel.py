@@ -41,3 +41,27 @@ def test_sharded_pallas_elementwise(data, cfg64):
     out, norm_sq = step(data["in_pcoa3"], data["b0"], data["c12t"])
     ref_norm = float(np.linalg.norm(bwdtrans.reference3d(data["basis"], 512)))
     assert float(np.sqrt(norm_sq[0])) == pytest.approx(ref_norm, rel=1e-10)
+
+
+def test_benchmark_dp_8dev(cfg32):
+    """Weak-scaling dp driver over the 8-device virtual mesh: runs, scales
+    the element count by the device count, and validates the global norm."""
+    import numpy as np
+
+    from tpu_bench.core.reporting import Reporter
+    from tpu_bench.ops import bwdtrans
+    from tpu_bench.parallel import benchmark_dp
+
+    lines = []
+    rep = Reporter.__new__(Reporter)
+    rep.stream = None
+    rep.note = lines.append
+    rep.emit = lambda *a: lines.append(a)
+
+    gdofs = benchmark_dp.run(4, 64, cfg32, rep)
+    assert gdofs > 0
+    prefix, nelmt, labels, norms, values, unit = lines[-1]
+    assert nelmt == 64 * 8  # 8 virtual devices
+    ref = bwdtrans.reference3d(
+        bwdtrans.make_basis3d(4, 4, 4, cfg32.dtype), nelmt)
+    assert norms[0] == pytest.approx(float(np.linalg.norm(ref)), rel=1e-4)

@@ -89,13 +89,18 @@ def shard_inputs(mesh: Mesh, in_coa, c_coa):
     return in_s, c_s
 
 
-def sharded_elementwise_apply(mesh: Mesh, fn):
+def sharded_elementwise_apply(mesh: Mesh, fn, with_norm: bool = True):
     """Element-only (pure dp) sharding for an arbitrary single-device
     variant fn(in_coa3, *ops): each device runs the full kernel on its
-    element slab — the multi-chip analog of the reference's element sweep."""
+    element slab — the multi-chip analog of the reference's element sweep.
+
+    with_norm=False skips the psum-reduced validation norm (an extra full
+    read of the output per application — exclude it from timed steps)."""
 
     def local_step(in_local, *ops):
         out_local = fn(in_local, *ops)
+        if not with_norm:
+            return (out_local,)
         acc = jnp.float64 if out_local.dtype == jnp.float64 else jnp.float32
         sumsq = jnp.sum(out_local.astype(acc) ** 2)
         return out_local, jax.lax.psum(jnp.atleast_1d(sumsq), ("dp", "tp"))
@@ -107,7 +112,8 @@ def sharded_elementwise_apply(mesh: Mesh, fn):
     def make(in_arr, *ops):
         in_specs = (spec_nd(in_arr),) + tuple(P(*([None] * o.ndim))
                                               for o in ops)
-        out_specs = (spec_nd(in_arr), P(None))
+        out_specs = ((spec_nd(in_arr), P(None)) if with_norm
+                     else (spec_nd(in_arr),))
         # check_vma=False: pallas_call out_shapes don't carry vma metadata
         mapped = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False)
