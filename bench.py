@@ -37,7 +37,10 @@ def main() -> None:
                               "XLA(GEMM)")]
     best = None
     for label, fn, args in candidates:
-        t = measure(fn, args, cfg, chain_fn=eps_chain(fn, eps_arg=1))
+        # two independent measurement passes; keep the min time (the chained
+        # differencing has ~10% run-to-run spread on the remote link)
+        t = min(measure(fn, args, cfg, chain_fn=eps_chain(fn, eps_arg=1))
+                for _ in range(2))
         gdofs = 1e-9 * nelmt * 343 / t
         print(f"{label}: {gdofs:.2f} GDOF/s", file=sys.stderr)
         if best is None or gdofs > best[1]:

@@ -63,9 +63,15 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     times, norms = [], []
     for v in VARIANTS:
         fn = v.build(None, cfg)
-        t = measure(fn, (x,), cfg, chain_fn=_chain(fn))
-        norms.append(math.sqrt(float(fn(x))))
-        times.append(t)
+        try:
+            t = measure(fn, (x,), cfg, chain_fn=_chain(fn))
+            norms.append(math.sqrt(float(fn(x))))
+            times.append(t)
+        except Exception as ex:  # fail-soft (e.g. Pallas f64 on real TPU)
+            reporter.note(f"WARNING: variant {v.label} failed: "
+                          f"{str(ex).splitlines()[0][:200]}")
+            times.append(float("inf"))
+            norms.append(float("nan"))
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),

@@ -117,10 +117,16 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     times, norms = [], []
     for v in VARIANTS:
         fn = v.build(None, cfg)
-        t, x_final = _time_accumulating(fn, size, cfg, y)
-        times.append(t)
-        norms.append(l2norm(x_final))
-        del x_final
+        try:
+            t, x_final = _time_accumulating(fn, size, cfg, y)
+            times.append(t)
+            norms.append(l2norm(x_final))
+            del x_final
+        except Exception as ex:  # fail-soft (e.g. Pallas f64 on real TPU)
+            reporter.note(f"WARNING: variant {v.label} failed: "
+                          f"{str(ex).splitlines()[0][:200]}")
+            times.append(float("inf"))
+            norms.append(float("nan"))
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),

@@ -28,7 +28,7 @@ from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain, measure
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
-                                     l2norm)
+                                     measure_checked)
 from tpu_bench.kernels import matvec as pl_mv
 from tpu_bench.ops import initdata
 
@@ -61,9 +61,10 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     for v in VARIANTS:
         fn, layout = v.build(None, cfg)
         mat = a_t if layout == "cm" else a
-        t = measure(fn, (mat, x), cfg, chain_fn=eps_chain(fn, eps_arg=1))
-        norms.append(l2norm(fn(mat, x)))
+        t, norm = measure_checked(v.label, fn, (mat, x), cfg, reporter,
+                                  chain_fn=eps_chain(fn, eps_arg=1))
         times.append(t)
+        norms.append(norm)
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),
