@@ -119,7 +119,6 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         basis=basis,
         nelmt=nelmt,
         e_pad=e_pad,
-        epb=epb,
         in_em2=in_em2,
         in_em3=in_em2.reshape(e_pad, nm1, nm0),
         in_coa=in_coa,

@@ -126,7 +126,6 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         in_pcoa3=jnp.asarray(
             in_coa.reshape(nm2 * nm1, nm0, e_pad).transpose(1, 0, 2)),
         b0=basis.b0, b1=basis.b1, b2=basis.b2,
-        b0t=jnp.asarray(basis.b0.T),
         c12t=c12t,
         c_em3=c_em3,
         c_coa3=jnp.asarray(c_em3.T),
