@@ -1,0 +1,44 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, functools
+import jax.numpy as jnp
+from tpu_bench.kernels import axpy as pl_axpy
+
+def build(size, options, use_pallas):
+    f = (functools.partial(pl_axpy.add_inplace_wide, interpret=False)
+         if use_pallas else (lambda a, b: a + b))
+    def step(k, x, y):
+        out = jax.lax.fori_loop(0, k, lambda i, xx: f(xx, y), x)
+        return jnp.sum(out)
+    x = jnp.ones((size,), jnp.float32)
+    y = jnp.full((size,), 1e-9, jnp.float32)
+    lowered = jax.jit(step).lower(jnp.int32(1), x, y)
+    comp = lowered.compile(compiler_options=options) if options else lowered.compile()
+    return comp, x, y
+
+def measure(size, options, use_pallas=False):
+    comp, x, y = build(size, options, use_pallas)
+    float(comp(jnp.int32(1), x, y))
+    def best_of(k, reps=5):
+        kk = jnp.int32(k); best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(comp(kk, x, y))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    k_hi = 64
+    while True:
+        k_lo = max(1, k_hi // 8)
+        t_lo = best_of(k_lo); t_hi = best_of(k_hi); diff = t_hi - t_lo
+        if diff > 8e-3 or t_hi > 2.0 or k_hi >= (1 << 20): break
+        k_hi *= 8
+    return 3 * 4 * 1e-9 * size / (diff / (k_hi - k_lo))
+
+SIZES = [("tiny", 131072), ("small", 1048576), ("mid", 8*2**20), ("large", 128*2**20)]
+for kib in [122880, 126976, 130048, 131072]:
+    opts = {"xla_tpu_scoped_vmem_limit_kib": kib}
+    for label, size in SIZES:
+        try:
+            print(f"scoped{kib:7d} {label:6s} pallas {measure(size, opts, True):9.1f} GB/s", flush=True)
+        except Exception as ex:
+            print(f"scoped{kib:7d} {label:6s} FAILED: {str(ex).splitlines()[0][:140]}", flush=True)
+            break

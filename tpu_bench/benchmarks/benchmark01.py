@@ -23,8 +23,8 @@ from tpu_bench.baselines import reduction as xla_red
 from tpu_bench.core.config import Config
 from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.timing import measure
-from tpu_bench.core.validate import check_norm_agreement, default_rtol
+from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
+                                     measure_checked)
 from tpu_bench.kernels import reduction as pl_red
 from tpu_bench.ops import initdata
 
@@ -63,15 +63,11 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     times, norms = [], []
     for v in VARIANTS:
         fn = v.build(None, cfg)
-        try:
-            t = measure(fn, (x,), cfg, chain_fn=_chain(fn))
-            norms.append(math.sqrt(float(fn(x))))
-            times.append(t)
-        except Exception as ex:  # fail-soft (e.g. Pallas f64 on real TPU)
-            reporter.note(f"WARNING: variant {v.label} failed: "
-                          f"{str(ex).splitlines()[0][:200]}")
-            times.append(float("inf"))
-            norms.append(float("nan"))
+        t, norm = measure_checked(
+            v.label, fn, (x,), cfg, reporter, chain_fn=_chain(fn),
+            norm_fn=lambda out: math.sqrt(float(out)))
+        times.append(t)
+        norms.append(norm)
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),

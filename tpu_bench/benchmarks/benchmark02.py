@@ -29,9 +29,9 @@ from tpu_bench.baselines import axpy as xla_axpy
 from tpu_bench.core.config import Config
 from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.timing import sync_latency, time_chained
+from tpu_bench.core.timing import honest_options, sync_latency, time_chained
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
-                                     l2norm)
+                                     fail_soft, l2norm)
 from tpu_bench.kernels import axpy as pl_axpy
 from tpu_bench.ops import initdata
 
@@ -85,7 +85,8 @@ def _time_accumulating(fn, size, cfg, y):
     if mode == "chained":
         x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         run_k = _accum_chain(fn)
-        t = time_chained(run_k, (x, y), n_tests=cfg.n_tests)
+        t = time_chained(run_k, (x, y), n_tests=cfg.n_tests,
+                         compiler_options=honest_options(cfg))
         x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), x, y)
         return t, x_final
@@ -114,19 +115,19 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     y = initdata.device_y(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(y)
 
+    def timed(fn):
+        def thunk():
+            t, x_final = _time_accumulating(fn, size, cfg, y)
+            norm = l2norm(x_final)
+            del x_final
+            return t, norm
+        return thunk
+
     times, norms = [], []
     for v in VARIANTS:
-        fn = v.build(None, cfg)
-        try:
-            t, x_final = _time_accumulating(fn, size, cfg, y)
-            times.append(t)
-            norms.append(l2norm(x_final))
-            del x_final
-        except Exception as ex:  # fail-soft (e.g. Pallas f64 on real TPU)
-            reporter.note(f"WARNING: variant {v.label} failed: "
-                          f"{str(ex).splitlines()[0][:200]}")
-            times.append(float("inf"))
-            norms.append(float("nan"))
+        t, norm = fail_soft(v.label, reporter, timed(v.build(None, cfg)))
+        times.append(t)
+        norms.append(norm)
 
     if cfg.validate:
         for msg in check_norm_agreement(LABELS, norms, default_rtol(cfg.dtype),

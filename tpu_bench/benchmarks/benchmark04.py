@@ -141,7 +141,7 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 
-        sig = f"nq{nq0}x{nq1}/e{min(e_pad, 2048)}"
+        sig = f"nq{nq0}x{nq1}/e{at.e_pad_class(e_pad)}"
         data["epb_kron"] = at.autotune_epb(
             "b04/kron", sig,
             lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),

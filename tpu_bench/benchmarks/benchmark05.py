@@ -134,7 +134,7 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 
-        sig = f"nq{nq0}x{nq1}x{nq2}/e{min(e_pad, 2048)}"
+        sig = f"nq{nq0}x{nq1}x{nq2}/e{at.e_pad_class(e_pad)}"
         data["epb_qp"] = at.autotune_epb(
             "b05/qp", sig,
             lambda e: (_pl(pl_bt.qp_shared3d, cfg, e),

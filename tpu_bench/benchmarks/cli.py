@@ -42,6 +42,12 @@ def build_parser(name: str, positionals=()) -> argparse.ArgumentParser:
                    default="auto",
                    help="dispatch = reference-faithful per-launch timing; "
                         "chained = latency-cancelling kernel chains")
+    p.add_argument("--vmem-resident", action="store_true",
+                   help="allow XLA to keep sub-VMEM working sets on-chip "
+                        "across chained iterations (reports on-chip "
+                        "bandwidth; default forces HBM traffic per "
+                        "iteration, matching the reference's per-dispatch "
+                        "semantics)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the sweep to DIR "
                         "(view with tensorboard/xprof; SURVEY.md §5.1)")

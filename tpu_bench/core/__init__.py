@@ -1,6 +1,6 @@
 from tpu_bench.core.config import Config
 from tpu_bench.core.timing import Timer, time_variant
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.registry import Variant, VariantRun
+from tpu_bench.core.registry import Variant
 
-__all__ = ["Config", "Timer", "time_variant", "Reporter", "Variant", "VariantRun"]
+__all__ = ["Config", "Timer", "time_variant", "Reporter", "Variant"]

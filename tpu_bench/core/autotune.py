@@ -79,6 +79,14 @@ def epb_candidates(e_pad: int, lo: int = 128, hi: int = 8192) -> list:
     return out or [min(e_pad, lo)]
 
 
+def e_pad_class(e_pad: int, hi: int = 8192) -> int:
+    """Cache-key divisibility class for an element count: every e_pad that
+    hi divides shares the full candidate set {lo..hi}, so they can share one
+    tuning entry; anything else keys on its exact value (a cached epb is
+    only reusable when it divides the current e_pad)."""
+    return hi if e_pad % hi == 0 else e_pad
+
+
 def autotune_epb(
     family: str,
     shape_sig: str,
@@ -106,10 +114,15 @@ def autotune_epb(
             if e_pad % epb == 0:
                 return epb
 
-    cands = list(candidates) if candidates is not None else epb_candidates(
-        e_pad)
+    # only epbs that divide the padded element count are runnable: a
+    # non-dividing epb truncates the kernels' grid=(e // epb,) and leaves
+    # the output tail unwritten
+    cands = [c for c in (list(candidates) if candidates is not None
+                         else epb_candidates(e_pad)) if e_pad % c == 0]
     if default is not None and default not in cands and e_pad % default == 0:
         cands.append(default)
+    if not cands:
+        cands = epb_candidates(e_pad)
 
     import dataclasses
 
@@ -123,8 +136,11 @@ def autotune_epb(
             continue  # candidate doesn't fit VMEM (or fails to lower): skip
         if t < best_t:
             best_epb, best_t = epb, t
-    if best_epb is None:
-        best_epb = default if default is not None else cands[0]
+    if best_epb is None:  # every candidate failed: fall back to a divisor
+        if default is not None and e_pad % default == 0:
+            best_epb = default
+        else:
+            best_epb = cands[0]
 
     with _LOCK:
         _load_cache()[key] = int(best_epb)

@@ -74,6 +74,11 @@ class Config:
     # latency-cancelling k-application chains (see core/timing.py); "auto"
     # picks chained when the host<->device sync round-trip exceeds 1 ms.
     timing: str = "auto"
+    # Force full HBM traffic per chained iteration (reference semantics,
+    # benchmark01/benchmark01.cc:243-254) by starving XLA's cross-iteration
+    # VMEM residency; False reports on-chip bandwidth for sub-VMEM working
+    # sets (the TPU analog of an L2-resident GPU benchmark).
+    hbm_honest: bool = True
 
     def __post_init__(self):
         if self.interpret is None:
@@ -109,4 +114,5 @@ class Config:
             validate=not args.no_validate,
             autotune=getattr(args, "autotune", False),
             timing=args.timing,
+            hbm_honest=not getattr(args, "vmem_resident", False),
         )

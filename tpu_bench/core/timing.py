@@ -19,6 +19,20 @@ probe transfer) cancels:
 
 Both modes keep the reference's min-of-N reduction.  Mode "auto" (default)
 picks chained when the measured sync latency exceeds 1 ms.
+
+HBM-honest chained timing.  A chained loop gives XLA's memory-space
+assignment (MSA) pass the chance to keep small loop-carried/invariant
+buffers resident in VMEM across iterations, so sub-VMEM working sets report
+on-chip bandwidth (measured up to 8.8 TB/s vs the 819 GB/s v5e HBM peak) —
+physically real, but not the reference's semantics of one dispatch's full
+HBM traffic per repetition (benchmark01/benchmark01.cc:243-254).  MSA's
+"alternate memory" pool is the chip VMEM minus the scoped-vmem window, so
+compiling the timing executable with xla_tpu_scoped_vmem_limit_kib = the
+full chip VMEM (128 MB on v5e) starves the pool to zero and forces every
+iteration to stream operands from HBM (measured: 0.5 MB working set drops
+2746 -> 433 GB/s; >=128 MB sizes unchanged).  Kernels are unaffected — the
+scoped limit is a ceiling, not a reservation, and their own VMEM blocks
+stay far below it.  Controlled by Config.hbm_honest (default True).
 """
 
 from __future__ import annotations
@@ -117,6 +131,34 @@ def time_variant(
 # chained mode
 # ---------------------------------------------------------------------------
 
+# Chip VMEM in KiB by device kind; setting the scoped-vmem window to the full
+# chip VMEM leaves MSA's alternate-memory pool empty (see module docstring).
+_VMEM_KIB = {"TPU v5 lite": 131072, "TPU v4": 131072, "TPU v5": 131072}
+_VMEM_KIB_DEFAULT = 131072
+
+
+def honest_options(cfg=None) -> Optional[dict]:
+    """Compiler options that force HBM traffic per chain iteration, or None
+    off-TPU / when cfg.hbm_honest is False.  Env TPU_BENCH_SCOPED_VMEM_KIB
+    overrides the per-chip value (e.g. for a future chip with more VMEM)."""
+    import os
+
+    if cfg is not None and not getattr(cfg, "hbm_honest", True):
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    env = os.environ.get("TPU_BENCH_SCOPED_VMEM_KIB")
+    if env is not None:
+        kib = int(env)
+    else:
+        try:
+            kind = jax.devices()[0].device_kind
+        except Exception:
+            kind = ""
+        kib = next((v for k, v in _VMEM_KIB.items() if kind.startswith(k)),
+                   _VMEM_KIB_DEFAULT)
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+
 
 def _default_probe(out):
     """Cheapest true-completion witness: one element of the output."""
@@ -181,12 +223,20 @@ def time_chained(
     run_k: Callable,
     args: Sequence,
     n_tests: int = 40,
+    compiler_options: Optional[dict] = None,
 ) -> float:
     """Seconds per kernel application via two-point chain differencing.
 
     The chain length escalates until the timing window (T(k_hi) - T(k_lo))
     comfortably exceeds the sync-latency noise floor, so tiny kernels (ns-µs)
-    are resolved even over a ~25 ms control link."""
+    are resolved even over a ~25 ms control link.
+
+    compiler_options (normally honest_options(cfg)) are applied to the
+    timing executable's compile — the HBM-honesty mechanism (module
+    docstring).  run_k must then be a jax.jit-wrapped callable."""
+    if compiler_options:
+        run_k = run_k.lower(jnp.int32(1), *args).compile(
+            compiler_options=compiler_options)
     float(run_k(jnp.int32(1), *args))  # compile + warm
     lat = sync_latency()
     reps = max(4, min(10, n_tests // 4))
@@ -241,7 +291,8 @@ def measure(
     if mode == "chained":
         run_k = build_chain(chain_fn if chain_fn is not None else eps_chain(fn),
                             probe=probe)
-        return time_chained(run_k, args, n_tests=cfg.n_tests)
+        return time_chained(run_k, args, n_tests=cfg.n_tests,
+                            compiler_options=honest_options(cfg))
     if step is None:
         step = lambda: fn(*args)
     return time_variant(step, n_tests=cfg.n_tests, warmup=warmup or step)

@@ -44,45 +44,60 @@ def check_norm_agreement(
     rtol: float,
     context: str = "",
 ) -> list:
-    """Assert all variant norms agree with the first one to rtol.
+    """Assert all variant norms agree with the first finite one to rtol.
 
     Returns a list of human-readable mismatch strings (empty = all agree).
     Mirrors the reference's cross-variant norm columns
     (benchmark04/benchmark04.cc:1033-1041), asserted instead of eyeballed.
     NaN norms mark variants that failed to run (already reported) and are
-    skipped.
+    skipped; the reference norm is the first NON-NaN entry so a failed
+    first variant cannot silence the whole check.
     """
-    mismatches = []
-    ref = norms[0]
+    ref_idx = next((i for i, n in enumerate(norms) if n == n), None)
+    if ref_idx is None:
+        return [f"{context}: no variant produced a norm; nothing validated"]
+    ref = norms[ref_idx]
     scale = max(abs(ref), 1e-300)
-    for label, n in zip(labels[1:], norms[1:]):
+    mismatches = []
+    for label, n in zip(labels[ref_idx + 1:], norms[ref_idx + 1:]):
         if n != n:  # NaN: variant failed, reported by measure_checked
             continue
         if abs(n - ref) / scale > rtol:
             mismatches.append(
-                f"{context} norm mismatch: {labels[0]}={ref!r} vs {label}={n!r} "
-                f"(rtol {rtol})"
+                f"{context} norm mismatch: {labels[ref_idx]}={ref!r} vs "
+                f"{label}={n!r} (rtol {rtol})"
             )
     return mismatches
 
 
-def measure_checked(label, fn, args, cfg, reporter, **measure_kwargs):
-    """(seconds, norm) for one variant, isolating failures: a variant that
+def fail_soft(label, reporter, thunk):
+    """Run thunk() -> (seconds, norm), isolating failures: a variant that
     cannot compile or run at this size (e.g. a VMEM-overflowing block shape)
     reports (inf, nan) — a 0 entry in the throughput column — instead of
-    killing the remaining 10 columns of the sweep row."""
-    from tpu_bench.core.timing import measure
-
+    killing the remaining 10 columns of the sweep row.  The single fail-soft
+    code path for every benchmark harness."""
     try:
-        t = measure(fn, args, cfg, **measure_kwargs)
-        out = fn(*args)
-        norm = l2norm(out)
-        del out
-        return t, norm
+        return thunk()
     except Exception as ex:  # fail-soft per variant, loudly reported
         first = str(ex).splitlines()[0][:300] if str(ex) else repr(ex)
         reporter.note(f"WARNING: variant {label} failed: {first}")
         return float("inf"), float("nan")
+
+
+def measure_checked(label, fn, args, cfg, reporter, norm_fn=None,
+                    **measure_kwargs):
+    """(seconds, norm) for one variant via fail_soft; norm_fn maps the
+    variant's output to its validation norm (default: l2norm)."""
+    from tpu_bench.core.timing import measure
+
+    def thunk():
+        t = measure(fn, args, cfg, **measure_kwargs)
+        out = fn(*args)
+        norm = (norm_fn or l2norm)(out)
+        del out
+        return t, norm
+
+    return fail_soft(label, reporter, thunk)
 
 
 def default_rtol(dtype) -> float:

@@ -46,8 +46,15 @@ def run(nq: int, nelmt_per_dev: int, cfg: Config,
         reporter: Reporter, devices=None) -> float:
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
+    # each device's element slab must itself be lane-aligned, so round the
+    # per-device count up to 128 — this keeps e_pad divisible by 128 * n_dev
+    # for any device count (including non-powers-of-two)
+    from tpu_bench.ops import initdata
+
+    nelmt_per_dev = initdata.round_up(nelmt_per_dev, 128)
     nelmt = nelmt_per_dev * n_dev
     data = b05.prepare(nq, nq, nq, nelmt, cfg)
+    assert data["e_pad"] % (128 * n_dev) == 0, (data["e_pad"], n_dev)
     mesh = pmesh.make_mesh(devices, tp=1)
     step, step_fast = build_step(mesh, data, cfg)
     args = (data["in_pcoa3"], data["b0"], data["c12t"])
