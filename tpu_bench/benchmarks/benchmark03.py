@@ -10,7 +10,7 @@ Variant mapping:
   cuBLAS gemv 'T' (row-major)  -> XLA dot_general on row-major A
   cuBLAS gemv 'N' (col-major)  -> XLA dot_general on transposed copy
   CUDA block-per-row dot       -> Pallas VPU row-block tiles
-  CUDA vectorized dot (vl)     -> Pallas MXU full-row contraction
+  CUDA vectorized dot (vl)     -> Pallas MXU left-vector contraction (cm)
 
 Chained timing perturbs x (tiny next to A's streaming traffic).
 """
@@ -42,7 +42,7 @@ VARIANTS = [
         pl_mv.matvec_vpu, interpret=c.interpret)), "rm")),
     Variant("Pallas(mxu)", lambda d, c: (jax.jit(functools.partial(
         pl_mv.matvec_mxu, interpret=c.interpret,
-        precision=c.precision)), "rm")),
+        precision=c.precision)), "cm")),
 ]
 
 LABELS = [v.label for v in VARIANTS]

@@ -89,6 +89,75 @@ def shard_inputs(mesh: Mesh, in_coa, c_coa):
     return in_s, c_s
 
 
+def pad_contraction3d(in_pcoa3, c12t, tp: int):
+    """Zero-pad the (r, q) contraction axis (nrq = nm2*nm1) to a multiple of
+    tp: zero input planes and zero operator columns contribute nothing, so
+    the padded contraction is exact."""
+    nrq = in_pcoa3.shape[1]
+    pad = (-nrq) % tp
+    if pad:
+        nm0, _, e = in_pcoa3.shape
+        in_pcoa3 = jnp.concatenate(
+            [in_pcoa3, jnp.zeros((nm0, pad, e), in_pcoa3.dtype)], axis=1)
+        c12t = jnp.concatenate(
+            [c12t, jnp.zeros((c12t.shape[0], pad), c12t.dtype)], axis=1)
+    return in_pcoa3, c12t
+
+
+def sharded_qp3d_apply(mesh: Mesh, epb: int, interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST,
+                       with_norm: bool = True):
+    """Fully (dp, tp)-sharded fused 3D sum-factorization Pallas kernel.
+
+    The flagship qp_shared3d kernel computes out[i] = C12T @ (sum_p
+    B0[p,i] * in[p]) per element block (kernels/bwdtrans3d.py).  Sharding:
+      * dp: elements (minor axis of in/out) — embarrassingly parallel;
+      * tp: the (r, q) contraction axis — each rank holds a column slice
+        of C12T and the matching nrq-row slice of the element data, runs
+        the SAME fused kernel on its slice (the VPU p-combination commutes
+        with the row slice), and the partial outputs are psum-reduced over
+        tp: the tensor-parallel contraction pattern with XLA/ICI
+        collectives.
+
+    Operands must be pre-padded with pad_contraction3d and sharded with
+    shard_qp3d_inputs.  Returns a jitted step(in_pcoa3, b0, c12t) ->
+    (out, norm_sq[1]) (norm_sq omitted when with_norm=False)."""
+    import functools
+
+    from tpu_bench.kernels import bwdtrans3d as pl_bt
+
+    fn = functools.partial(pl_bt.qp_shared3d, epb=epb, interpret=interpret,
+                           precision=precision)
+
+    def local_step(in_local, b0, c12t_local):
+        # in_local: (nm0, nrq/tp, E/dp); c12t_local: (nkj, nrq/tp)
+        partial = fn(in_local, b0, c12t_local)
+        out_local = jax.lax.psum(partial, "tp")
+        if not with_norm:
+            return (out_local,)
+        acc = jnp.float64 if out_local.dtype == jnp.float64 else jnp.float32
+        sumsq = jnp.sum(out_local.astype(acc) ** 2)
+        # tp ranks hold identical out_local after the psum: reduce dp only
+        return out_local, jax.lax.psum(jnp.atleast_1d(sumsq), "dp")
+
+    in_specs = (P(None, "tp", "dp"), P(), P(None, "tp"))
+    out_specs = ((P(None, None, "dp"), P(None)) if with_norm
+                 else (P(None, None, "dp"),))
+    mapped = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)
+
+
+def shard_qp3d_inputs(mesh: Mesh, in_pcoa3, b0, c12t):
+    """Pad + place operands for sharded_qp3d_apply."""
+    tp = mesh.shape["tp"]
+    in_pcoa3, c12t = pad_contraction3d(in_pcoa3, c12t, tp)
+    in_s = jax.device_put(in_pcoa3, NamedSharding(mesh, P(None, "tp", "dp")))
+    b0_s = jax.device_put(b0, NamedSharding(mesh, P()))
+    c_s = jax.device_put(c12t, NamedSharding(mesh, P(None, "tp")))
+    return in_s, b0_s, c_s
+
+
 def sharded_elementwise_apply(mesh: Mesh, fn, with_norm: bool = True):
     """Element-only (pure dp) sharding for an arbitrary single-device
     variant fn(in_coa3, *ops): each device runs the full kernel on its
