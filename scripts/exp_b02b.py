@@ -46,7 +46,7 @@ def run(label, fn, nargs, traffic):
         out = jax.lax.fori_loop(0, k, body, a[0])
         return jnp.sum(out[:128])
     try:
-        t = timing.time_chained(run_k, (x, y)[:nargs], n_tests=16,
+        t, _ = timing.time_chained(run_k, (x, y)[:nargs], n_tests=16,
                                 compiler_options=timing.honest_options())
         print(f"{label:32s} {traffic * 1e-9 / t:8.1f} GB/s", flush=True)
     except Exception as ex:

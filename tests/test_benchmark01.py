@@ -48,8 +48,13 @@ def test_chained_timing_protocol(cfg32):
     """The chained timer must produce a sane positive per-application time."""
     from tpu_bench.core.timing import build_chain, time_chained
 
+    import jax.numpy as jnp
+
     x = initdata.device_x(65536, cfg32.dtype)
     fn = b01.VARIANTS[0].build(None, cfg32)
     run_k = build_chain(fn)
-    t = time_chained(run_k, (x,), n_tests=8)
+    t, witness = time_chained(run_k, (x,), n_tests=8)
     assert 0 < t < 1.0
+    # the witness squares b01's sumsq output: norm = witness ** 0.25
+    want = float(jnp.sqrt(fn(x)))
+    assert math.isclose(witness ** 0.25, want, rel_tol=1e-5)

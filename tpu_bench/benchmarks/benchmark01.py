@@ -63,9 +63,12 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     times, norms = [], []
     for v in VARIANTS:
         fn = v.build(None, cfg)
+        # b01's kernel output is the sumsq scalar itself, so its norm is
+        # sqrt(out) = witness ** 0.25 (the witness squares the output)
         t, norm = measure_checked(
             v.label, fn, (x,), cfg, reporter, chain_fn=_chain(fn),
-            norm_fn=lambda out: math.sqrt(float(out)))
+            norm_fn=lambda out: math.sqrt(float(out)),
+            witness_norm=lambda w: w ** 0.25)
         times.append(t)
         norms.append(norm)
 

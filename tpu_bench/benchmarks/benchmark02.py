@@ -85,8 +85,8 @@ def _time_accumulating(fn, size, cfg, y):
     if mode == "chained":
         x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         run_k = _accum_chain(fn)
-        t = time_chained(run_k, (x, y), n_tests=cfg.n_tests,
-                         compiler_options=honest_options(cfg))
+        t, _ = time_chained(run_k, (x, y), n_tests=cfg.n_tests,
+                            compiler_options=honest_options(cfg))
         x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), x, y)
         return t, x_final

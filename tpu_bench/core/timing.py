@@ -167,6 +167,30 @@ def _default_probe(out):
     return out.ravel()[0].astype(jnp.float32)
 
 
+def _witness_sumsq(out):
+    """Completion witness = chunked sum of squares of the final output.
+
+    Serves two purposes: every output element is live (XLA cannot shrink
+    the carried array), and — because the eps perturbation is exactly 0.0 —
+    the final chain output equals one plain application of the kernel, so
+    sqrt(witness) IS the validation norm.  Deriving the norm here saves a
+    second compile of the bare kernel per (variant, size) on the remote-
+    compile TPU link, where compiles dominate sweep wall-clock.  Chunked
+    accumulation mirrors validate._norm_sq_f32 so printed norms agree with
+    the CPU path."""
+    if isinstance(out, (tuple, list)):
+        out = out[0]
+    x = out.ravel()
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    n = x.shape[0]
+    chunk = 1 << 16
+    if n > chunk and n % chunk == 0:
+        partial = jnp.sum((x * x).reshape(n // chunk, chunk), axis=-1,
+                          dtype=acc)
+        return jnp.sum(partial, dtype=acc)
+    return jnp.sum(x.astype(acc) * x.astype(acc), dtype=acc)
+
+
 def build_chain(chain_fn: Callable, probe: Callable = _default_probe) -> Callable:
     """Return run_k(k, *args) -> f32 scalar: k serialized applications of
     chain_fn(p, *args), where p is the f32 probe of the previous output.
@@ -181,8 +205,9 @@ def build_chain(chain_fn: Callable, probe: Callable = _default_probe) -> Callabl
       * the loop CARRIES the full output array (not just the probe scalar) —
         a scalar carry lets XLA slice-propagate the probe through the body
         and shrink every iteration to a single output element;
-      * the returned completion witness is sum(out_final), so every element
-        of the carried array is live (one extra read, amortized over k).
+      * the returned completion witness is sumsq(out_final), so every
+        element of the carried array is live (one extra read, amortized
+        over k) — and doubles as the validation norm (see _witness_sumsq).
 
     k is a traced value, so one compilation covers every chain length.
     """
@@ -196,9 +221,7 @@ def build_chain(chain_fn: Callable, probe: Callable = _default_probe) -> Callabl
             return chain_fn(p, *args)
 
         out = jax.lax.fori_loop(1, k, body, out0)
-        if isinstance(out, (tuple, list)):
-            out = out[0]
-        return jnp.sum(out.astype(jnp.float32))
+        return _witness_sumsq(out)
 
     return run_k
 
@@ -233,11 +256,14 @@ def time_chained(
 
     compiler_options (normally honest_options(cfg)) are applied to the
     timing executable's compile — the HBM-honesty mechanism (module
-    docstring).  run_k must then be a jax.jit-wrapped callable."""
+    docstring).  run_k must then be a jax.jit-wrapped callable.
+
+    Returns (seconds, witness): witness is the float value of run_k's
+    completion scalar (sumsq of the final output for build_chain chains)."""
     if compiler_options:
         run_k = run_k.lower(jnp.int32(1), *args).compile(
             compiler_options=compiler_options)
-    float(run_k(jnp.int32(1), *args))  # compile + warm
+    witness = float(run_k(jnp.int32(1), *args))  # compile + warm
     lat = sync_latency()
     reps = max(4, min(10, n_tests // 4))
 
@@ -262,7 +288,7 @@ def time_chained(
             break
         k_hi *= 8
     per = diff / (k_hi - k_lo)
-    return max(per, 1e-12)
+    return max(per, 1e-12), witness
 
 
 def resolve_mode(cfg) -> str:
@@ -280,19 +306,26 @@ def measure(
     probe: Callable = _default_probe,
     step: Optional[Callable[[], object]] = None,
     warmup: Optional[Callable[[], object]] = None,
+    with_witness: bool = False,
 ) -> float:
     """Time one application of fn(*args) per the configured timing mode.
 
     chain_fn(p, *args) is the latency-cancelling chained step (see
     build_chain); when omitted, chained mode perturbs args[0] — only correct
     when args[0] is cheap to rematerialize.
+
+    with_witness=True returns (seconds, witness) where witness is the
+    chain's completion sumsq (None in dispatch mode — the caller applies
+    the kernel itself there, which dispatch mode has already compiled).
     """
     mode = resolve_mode(cfg)
     if mode == "chained":
         run_k = build_chain(chain_fn if chain_fn is not None else eps_chain(fn),
                             probe=probe)
-        return time_chained(run_k, args, n_tests=cfg.n_tests,
-                            compiler_options=honest_options(cfg))
+        t, witness = time_chained(run_k, args, n_tests=cfg.n_tests,
+                                  compiler_options=honest_options(cfg))
+        return (t, witness) if with_witness else t
     if step is None:
         step = lambda: fn(*args)
-    return time_variant(step, n_tests=cfg.n_tests, warmup=warmup or step)
+    t = time_variant(step, n_tests=cfg.n_tests, warmup=warmup or step)
+    return (t, None) if with_witness else t

@@ -85,13 +85,23 @@ def fail_soft(label, reporter, thunk):
 
 
 def measure_checked(label, fn, args, cfg, reporter, norm_fn=None,
-                    **measure_kwargs):
-    """(seconds, norm) for one variant via fail_soft; norm_fn maps the
-    variant's output to its validation norm (default: l2norm)."""
+                    witness_norm=None, **measure_kwargs):
+    """(seconds, norm) for one variant via fail_soft.
+
+    In chained mode the validation norm is derived from the timing chain's
+    completion witness (sumsq of the final output — exact because the
+    chain's eps perturbation is 0.0), skipping a second compile of the bare
+    kernel per variant and size.  norm_fn maps the variant's output to its
+    norm on the dispatch-mode path (default: l2norm); witness_norm maps the
+    witness (default: sqrt)."""
+    import math
+
     from tpu_bench.core.timing import measure
 
     def thunk():
-        t = measure(fn, args, cfg, **measure_kwargs)
+        t, w = measure(fn, args, cfg, with_witness=True, **measure_kwargs)
+        if w is not None and math.isfinite(w):
+            return t, (witness_norm(w) if witness_norm else math.sqrt(w))
         out = fn(*args)
         norm = (norm_fn or l2norm)(out)
         del out
