@@ -23,7 +23,7 @@ def test_autotune_picks_and_caches(tmp_path, monkeypatch, cfg32):
 
     def build(epb):
         _, fn, args = b04.build_variants(
-            dict(data, epb_kron=epb, epb_qp=epb, epb_1d=epb), cfg32)[6]
+            data.replace(epb_kron=epb, epb_qp=epb, epb_1d=epb), cfg32)[6]
         built.append(epb)
         return fn, args
 

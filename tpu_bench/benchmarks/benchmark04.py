@@ -49,37 +49,43 @@ def _xla(fn, cfg):
     return functools.partial(fn, precision=cfg.precision)
 
 
-def build_variants(data, cfg):
-    """Ordered (label, fn, args) for the 11-variant table; args[1] is the
-    small operand the chained timer perturbs."""
+def variant_specs(data, cfg):
+    """Ordered (label, fn, operand keys) for the 11-variant table; the key
+    at index 1 names the small operand the chained timer perturbs.  Keys
+    resolve through ops.bwdtrans.Layouts, so derived layouts of the element
+    stream materialize one variant at a time."""
     epb = data["epb_kron"]
     epb_qp = data["epb_qp"]
     epb_1d = data["epb_1d"]
     return [
         ("XLA(Uncoales)", _xla(xla_bt.einsum_em, cfg),
-         (data["in_em3"], data["b0"], data["b1"])),
+         ("in_em3", "b0", "b1")),
         ("XLA(Coales)", _xla(xla_bt.einsum_coa, cfg),
-         (data["in_coa3"], data["b0"], data["b1"])),
-        ("XLA(QP)", _xla(xla_bt.staged_em, cfg),
-         (data["in_em3"], data["b0"], data["b1"])),
+         ("in_coa3", "b0", "b1")),
+        ("XLA(QP)", _xla(xla_bt.staged_em, cfg), ("in_em3", "b0", "b1")),
         ("XLA(QP/DG)", _xla(xla_bt.staged_dotgeneral, cfg),
-         (data["in_em3"], data["b0"], data["b1"])),
-        ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg),
-         (data["in_coa"], data["c_coa"])),
+         ("in_em3", "b0", "b1")),
+        ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg), ("in_coa", "c_coa")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
-                                 data["epb_em"]),
-         (data["in_em2"], data["c_em"])),
+                                 data["epb_em"]), ("in_em2", "c_em")),
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, epb),
-         (data["in_coa"], data["c_coa"])),
+         ("in_coa", "c_coa")),
         ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb_qp),
-         (data["in_pcoa3"], data["b0"], data["b1t"])),
+         ("in_pcoa3", "b0", "b1t")),
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb_qp),
-         (data["in_pcoa3"], data["b0"], data["b1t"])),
+         ("in_pcoa3", "b0", "b1t")),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb_1d),
-         (data["in_em2"], data["s1_em"], data["s2_em"])),
+         ("in_em2", "s1_em", "s2_em")),
         ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared, cfg, epb_1d),
-         (data["in_em2"], data["s1_em"], data["s2_em"])),
+         ("in_em2", "s1_em", "s2_em")),
     ]
+
+
+def build_variants(data, cfg):
+    """(label, fn, args) with every operand materialized — test-suite and
+    small-size convenience; sweeps use variant_specs + lazy resolution."""
+    return [(label, fn, tuple(data[k] for k in keys))
+            for label, fn, keys in variant_specs(data, cfg)]
 
 
 LABELS = [
@@ -115,25 +121,30 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     bytes_em = cfg.itemsize * (2 * pad(basis.nm_tot) + 2 * pad(basis.nq_tot)
                                + pad(s1_em.shape[1]))
     epb_em = bwdtrans.choose_epb(bytes_em, e_pad, cfg.epb, budget // 2)
-    data = dict(
-        basis=basis,
-        nelmt=nelmt,
-        e_pad=e_pad,
-        in_em2=in_em2,
-        in_em3=in_em2.reshape(e_pad, nm1, nm0),
-        in_coa=in_coa,
-        in_coa3=in_coa.reshape(nm1, nm0, e_pad),
-        # p-major coalesced layout for the hybrid MXU/VPU QP kernels
-        in_pcoa3=jnp.asarray(
-            in_coa.reshape(nm1, nm0, e_pad).transpose(1, 0, 2)),
-        b0=basis.b0,
-        b1=basis.b1,
-        b0t=jnp.asarray(basis.b0.T),
-        b1t=jnp.asarray(basis.b1.T),
-        c_em=c_em,
-        c_coa=jnp.asarray(c_em.T),
-        s1_em=s1_em,
-        s2_em=s2_em,
+    data = bwdtrans.Layouts(
+        base=dict(
+            basis=basis,
+            nelmt=nelmt,
+            e_pad=e_pad,
+            in_em2=in_em2,
+            in_coa=in_coa,
+            b0=basis.b0,
+            b1=basis.b1,
+            b0t=jnp.asarray(basis.b0.T),
+            b1t=jnp.asarray(basis.b1.T),
+            c_em=c_em,
+            c_coa=jnp.asarray(c_em.T),
+            s1_em=s1_em,
+            s2_em=s2_em,
+        ),
+        # derived layouts of the element stream: fresh per access (lazy)
+        derived=dict(
+            in_em3=lambda: in_em2.reshape(e_pad, nm1, nm0),
+            in_coa3=lambda: in_coa.reshape(nm1, nm0, e_pad),
+            # p-major coalesced layout for the hybrid MXU/VPU QP kernels
+            in_pcoa3=lambda: jnp.asarray(
+                in_coa.reshape(nm1, nm0, e_pad).transpose(1, 0, 2)),
+        ),
     )
     data["epb_qp"] = epb
     data["epb_kron"] = epb_kron
@@ -147,11 +158,13 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),
                        (data["in_coa"], data["c_coa"])),
             cfg, e_pad, default=epb)
+        in_pcoa3 = data["in_pcoa3"]
         data["epb_qp"] = at.autotune_epb(
             "b04/qp", sig,
             lambda e: (_pl(pl_bt.qp_shared, cfg, e),
-                       (data["in_pcoa3"], data["b0"], data["b1t"])),
+                       (in_pcoa3, data["b0"], data["b1t"])),
             cfg, e_pad, default=epb)
+        del in_pcoa3
         data["epb_1d"] = at.autotune_epb(
             "b04/1d", sig,
             lambda e: (_pl(pl_bt.qp1d_shared, cfg, e),
@@ -166,9 +179,11 @@ def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,
     jax.block_until_ready(data["in_coa"])
 
     times, norms = [], []
-    for label, fn, args in build_variants(data, cfg):
+    for label, fn, keys in variant_specs(data, cfg):
+        args = tuple(data[k] for k in keys)  # lazy derived layouts
         t, norm = measure_checked(label, fn, args, cfg, reporter,
                                   chain_fn=eps_chain(fn, eps_arg=1))
+        del args
         times.append(t)
         norms.append(norm)
 

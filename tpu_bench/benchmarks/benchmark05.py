@@ -45,33 +45,40 @@ LABELS = [
 ]
 
 
-def build_variants(data, cfg):
+def variant_specs(data, cfg):
+    """Ordered (label, fn, operand keys); the key at index 1 is the small
+    perturbed operand.  Keys resolve lazily (ops.bwdtrans.Layouts)."""
     return [
         ("XLA(Uncoales)", _xla(xla_bt.einsum_em, cfg),
-         (data["in_em4"], data["b0"], data["b1"], data["b2"])),
+         ("in_em4", "b0", "b1", "b2")),
         ("XLA(Coales)", _xla(xla_bt.einsum_coa, cfg),
-         (data["in_coa4"], data["b0"], data["b1"], data["b2"])),
+         ("in_coa4", "b0", "b1", "b2")),
         ("XLA(QP)", _xla(xla_bt.staged_em, cfg),
-         (data["in_em4"], data["b0"], data["b1"], data["b2"])),
+         ("in_em4", "b0", "b1", "b2")),
         ("XLA(QP/DG)", _xla(xla_bt.staged_dotgeneral, cfg),
-         (data["in_em4"], data["b0"], data["b1"], data["b2"])),
-        ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg),
-         (data["in_coa"], data["c_coa3"])),
+         ("in_em4", "b0", "b1", "b2")),
+        ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg), ("in_coa", "c_coa3")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
-                                 data["epb_em"]),
-         (data["in_em2"], data["c_em3"])),
+                                 data["epb_em"]), ("in_em2", "c_em3")),
         ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, data["epb_kron"]),
-         (data["in_coa"], data["c_coa3"])),
+         ("in_coa", "c_coa3")),
         ("Pallas(QP)", _pl(pl_bt.qp_global3d, cfg, data["epb_qp"]),
-         (data["in_pcoa3"], data["b0"], data["c12t"])),
+         ("in_pcoa3", "b0", "c12t")),
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared3d, cfg, data["epb_qp"]),
-         (data["in_pcoa3"], data["b0"], data["c12t"])),
+         ("in_pcoa3", "b0", "c12t")),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global3d, cfg, data["epb_1d"]),
-         (data["in_em2"], data["s1_em"], data["s2_em"], data["s3_em"])),
+         ("in_em2", "s1_em", "s2_em", "s3_em")),
         ("Pallas(QP-1D/Shared)", _pl(pl_bt.qp1d_shared3d, cfg,
                                      data["epb_1d"]),
-         (data["in_em2"], data["s1_em"], data["s2_em"], data["s3_em"])),
+         ("in_em2", "s1_em", "s2_em", "s3_em")),
     ]
+
+
+def build_variants(data, cfg):
+    """(label, fn, args) with every operand materialized — test-suite and
+    small-size convenience; sweeps use variant_specs + lazy resolution."""
+    return [(label, fn, tuple(data[k] for k in keys))
+            for label, fn, keys in variant_specs(data, cfg)]
 
 
 def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
@@ -109,37 +116,44 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         it * (2 * pad(nm_tot) + 2 * pad(nq_tot) + w_cols), e_pad, cfg.epb,
         max(budget - ops_bytes, 1 << 20))
 
-    data = dict(
-        basis=basis,
-        nelmt=nelmt,
-        e_pad=e_pad,
-        epb_qp=epb_qp,
-        epb_kron=epb_kron,
-        epb_em=epb_em,
-        epb_1d=epb_1d,
-        in_em2=in_em2,
-        in_em4=in_em2.reshape(e_pad, nm2, nm1, nm0),
-        in_coa=in_coa,
-        in_coa3=in_coa.reshape(nm2 * nm1, nm0, e_pad),
-        in_coa4=in_coa.reshape(nm2, nm1, nm0, e_pad),
-        # p-major coalesced layout for the hybrid MXU/VPU QP kernels
-        in_pcoa3=jnp.asarray(
-            in_coa.reshape(nm2 * nm1, nm0, e_pad).transpose(1, 0, 2)),
-        b0=basis.b0, b1=basis.b1, b2=basis.b2,
-        c12t=c12t,
-        c_em3=c_em3,
-        c_coa3=jnp.asarray(c_em3.T),
-        s1_em=s1_em, s2_em=s2_em, s3_em=s3_em,
+    data = bwdtrans.Layouts(
+        base=dict(
+            basis=basis,
+            nelmt=nelmt,
+            e_pad=e_pad,
+            epb_qp=epb_qp,
+            epb_kron=epb_kron,
+            epb_em=epb_em,
+            epb_1d=epb_1d,
+            in_em2=in_em2,
+            in_coa=in_coa,
+            b0=basis.b0, b1=basis.b1, b2=basis.b2,
+            c12t=c12t,
+            c_em3=c_em3,
+            c_coa3=jnp.asarray(c_em3.T),
+            s1_em=s1_em, s2_em=s2_em, s3_em=s3_em,
+        ),
+        # derived layouts of the element stream: fresh per access (lazy)
+        derived=dict(
+            in_em4=lambda: in_em2.reshape(e_pad, nm2, nm1, nm0),
+            in_coa3=lambda: in_coa.reshape(nm2 * nm1, nm0, e_pad),
+            in_coa4=lambda: in_coa.reshape(nm2, nm1, nm0, e_pad),
+            # p-major coalesced layout for the hybrid MXU/VPU QP kernels
+            in_pcoa3=lambda: jnp.asarray(
+                in_coa.reshape(nm2 * nm1, nm0, e_pad).transpose(1, 0, 2)),
+        ),
     )
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 
         sig = f"nq{nq0}x{nq1}x{nq2}/e{at.e_pad_class(e_pad)}"
+        in_pcoa3 = data["in_pcoa3"]
         data["epb_qp"] = at.autotune_epb(
             "b05/qp", sig,
             lambda e: (_pl(pl_bt.qp_shared3d, cfg, e),
-                       (data["in_pcoa3"], data["b0"], data["c12t"])),
+                       (in_pcoa3, data["b0"], data["c12t"])),
             cfg, e_pad, default=epb_qp)
+        del in_pcoa3
         data["epb_kron"] = at.autotune_epb(
             "b05/kron", sig,
             lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),
@@ -160,9 +174,11 @@ def run_test(nelmt: int, nq0: int, nq1: int, nq2: int, cfg: Config,
     jax.block_until_ready(data["in_coa"])
 
     times, norms = [], []
-    for label, fn, args in build_variants(data, cfg):
+    for label, fn, keys in variant_specs(data, cfg):
+        args = tuple(data[k] for k in keys)  # lazy derived layouts
         t, norm = measure_checked(label, fn, args, cfg, reporter,
                                   chain_fn=eps_chain(fn, eps_arg=1))
+        del args
         times.append(t)
         norms.append(norm)
 

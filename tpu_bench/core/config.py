@@ -66,7 +66,11 @@ class Config:
     n_tests: int = 40
     interpret: Optional[bool] = None
     epb: Optional[int] = None  # elements per Pallas program (None = auto)
-    mem_fraction: float = 0.55  # fraction of device memory a sweep size may use
+    # Fraction of device memory a sweep size may use.  With lazy derived
+    # layouts (ops.bwdtrans.Layouts) at most one extra copy of the element
+    # stream is resident per variant, so 0.70 lets the b05 nq=8 sweep reach
+    # the reference's published nelmt=1,048,576 (benchmark05/run.sh).
+    mem_fraction: float = 0.70
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     validate: bool = True  # cross-variant norm agreement checks
     autotune: bool = False  # empirical epb selection (core/autotune.py)
