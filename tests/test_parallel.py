@@ -109,6 +109,13 @@ def test_benchmark_dp_8dev(cfg32):
     # the per-device slab is rounded up to the 128-lane tile so e_pad stays
     # divisible by 128 * n_dev for any device count
     assert nelmt == 128 * 8
-    ref = bwdtrans.reference3d(
-        bwdtrans.make_basis3d(4, 4, 4, cfg32.dtype), nelmt)
-    assert norms[0] == pytest.approx(float(np.linalg.norm(ref)), rel=1e-4)
+    want = float(np.linalg.norm(bwdtrans.reference3d(
+        bwdtrans.make_basis3d(4, 4, 4, cfg32.dtype), nelmt)))
+    assert norms[0] == pytest.approx(want, rel=1e-4)
+
+    # (dp=4, tp=2): same norm through the tp-sliced contraction + psum
+    gdofs_tp = benchmark_dp.run(4, 64, cfg32, rep, tp=2)
+    assert gdofs_tp > 0
+    _, nelmt_tp, labels_tp, norms_tp, _, _ = lines[-1]
+    assert labels_tp == ["dp4tp2x128"]
+    assert norms_tp[0] == pytest.approx(want, rel=1e-4)

@@ -26,14 +26,32 @@ from tpu_bench.kernels import bwdtrans3d as pl_bt
 from tpu_bench.parallel import mesh as pmesh
 
 
-def build_step(mesh, data, cfg):
-    """jitted (in_pcoa3, b0, c12t) -> (out, norm_sq[1]) over the dp mesh."""
-    # each device owns e_pad / |mesh| elements; the block size must divide
+def _local_epb(data, mesh):
+    # each device owns e_pad / dp elements; the block size must divide
     # the local shard, not the global stream
-    shard = data["e_pad"] // mesh.size
+    shard = data["e_pad"] // mesh.shape["dp"]
     epb = 1
     while epb * 2 <= min(data["epb_qp"], shard) and shard % (epb * 2) == 0:
         epb *= 2
+    return epb
+
+
+def build_step(mesh, data, cfg):
+    """jitted (in_pcoa3, b0, c12t) -> (out, norm_sq[1]) over the mesh.
+
+    On a pure-dp mesh each device runs the full fused kernel on its element
+    slab; with tp > 1 the (r, q) contraction is additionally sliced over tp
+    with a psum epilogue (mesh.sharded_qp3d_apply)."""
+    epb = _local_epb(data, mesh)
+    if mesh.shape["tp"] > 1:
+        step = pmesh.sharded_qp3d_apply(mesh, epb=epb,
+                                        interpret=cfg.interpret,
+                                        precision=cfg.precision)
+        step_fast = pmesh.sharded_qp3d_apply(mesh, epb=epb,
+                                             interpret=cfg.interpret,
+                                             precision=cfg.precision,
+                                             with_norm=False)
+        return step, step_fast
     fn = functools.partial(pl_bt.qp_shared3d, epb=epb,
                            interpret=cfg.interpret, precision=cfg.precision)
     make = pmesh.sharded_elementwise_apply(mesh, fn)
@@ -43,21 +61,24 @@ def build_step(mesh, data, cfg):
 
 
 def run(nq: int, nelmt_per_dev: int, cfg: Config,
-        reporter: Reporter, devices=None) -> float:
+        reporter: Reporter, devices=None, tp: int = 1) -> float:
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     # each device's element slab must itself be lane-aligned, so round the
-    # per-device count up to 128 — this keeps e_pad divisible by 128 * n_dev
+    # per-device count up to 128 — this keeps e_pad divisible by 128 * dp
     # for any device count (including non-powers-of-two)
     from tpu_bench.ops import initdata
 
     nelmt_per_dev = initdata.round_up(nelmt_per_dev, 128)
     nelmt = nelmt_per_dev * n_dev
     data = b05.prepare(nq, nq, nq, nelmt, cfg)
-    assert data["e_pad"] % (128 * n_dev) == 0, (data["e_pad"], n_dev)
-    mesh = pmesh.make_mesh(devices, tp=1)
+    mesh = pmesh.make_mesh(devices, tp=tp)
+    assert data["e_pad"] % (128 * mesh.shape["dp"]) == 0, (
+        data["e_pad"], dict(mesh.shape))
     step, step_fast = build_step(mesh, data, cfg)
     args = (data["in_pcoa3"], data["b0"], data["c12t"])
+    if mesh.shape["tp"] > 1:
+        args = pmesh.shard_qp3d_inputs(mesh, *args)
     jax.block_until_ready(args[0])
 
     out, norm_sq = step(*args)  # validation pass: psum-reduced global norm
@@ -67,9 +88,10 @@ def run(nq: int, nelmt_per_dev: int, cfg: Config,
     t = measure(step_fast, args, cfg,
                 chain_fn=eps_chain(step_fast, eps_arg=1))
     nm = (nq - 1) ** 3
+    label = (f"dp{mesh.shape['dp']}tp{tp}x{nelmt_per_dev}" if tp > 1
+             else f"dp{n_dev}x{nelmt_per_dev}")
     gdofs = 1e-9 * nelmt * nm / t
-    reporter.emit("nelmt", nelmt, [f"dp{n_dev}x{nelmt_per_dev}"], [norm],
-                  [gdofs], "DOF/s")
+    reporter.emit("nelmt", nelmt, [label], [norm], [gdofs], "DOF/s")
     return gdofs
 
 
@@ -80,12 +102,15 @@ def main(argv=None):
     p.add_argument("nq", nargs="?", type=int, default=8)
     p.add_argument("nelmt_per_dev", nargs="?", type=int, default=131072)
     p.add_argument("--ntests", type=int, default=16)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: slice the (r, q) "
+                        "contraction over tp ranks with a psum epilogue")
     args = p.parse_args(argv)
     cfg = Config(n_tests=args.ntests)
     n = len(jax.devices())
     reporter = Reporter(f"Benchmark DP : BwdTrans (3D) over {n} device(s)")
     reporter.sweep_title(f"BwdTrans (NQ = {args.nq}) x {n} devices")
-    run(args.nq, args.nelmt_per_dev, cfg, reporter)
+    run(args.nq, args.nelmt_per_dev, cfg, reporter, tp=args.tp)
 
 
 if __name__ == "__main__":
