@@ -62,6 +62,9 @@ else
     for i in 10 8 6 4 2; do b05 "$i"; done
     stream 01
     stream 02
+    log "ceilings start"
+    mkdir -p "$ROOT/ceilings"
+    python -m tpu_bench.benchmarks.ceilings &> "$ROOT/ceilings/ceilings.log"
     f64
     python "$PP/postprocess05.py" "$ROOT/b05"
     python "$PP/postprocess01.py" "$ROOT/b01"

@@ -14,7 +14,9 @@ Variant mapping:
   Kokkos parallel_for   -> XLA add with x donated (true in-place)
   thrust::transform     -> XLA functional add
   CUDA scalar           -> Pallas in-place add, (rows, 128) tiles
-  CUDA float4/double2   -> Pallas in-place add, 1024-lane rows
+  CUDA float4/double2   -> manual-DMA ring pipeline, 16 MB chunks
+                           (kernels/stream.py: hand transaction control,
+                           703 vs 681 GB/s for the automatic pipeline)
   CUDA functor kernel   -> Pallas generic map2 functor
 """
 
@@ -33,6 +35,7 @@ from tpu_bench.core.timing import honest_options, sync_latency, time_chained
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      fail_soft, l2norm)
 from tpu_bench.kernels import axpy as pl_axpy
+from tpu_bench.kernels import stream as pl_stream
 from tpu_bench.ops import initdata
 
 
@@ -46,7 +49,9 @@ VARIANTS = [
     Variant("XLA(donate)", lambda d, c: xla_axpy.add_donated),
     Variant("XLA", lambda d, c: xla_axpy.add),
     Variant("Pallas", lambda d, c: _pallas("add_inplace", c)),
-    Variant("Pallas(vl)", lambda d, c: _pallas("add_inplace_wide", c)),
+    Variant("Pallas(vl)", lambda d, c: jax.jit(
+        functools.partial(pl_stream.add_inplace_manual,
+                          interpret=c.interpret), donate_argnums=(0,))),
     Variant("Pallas(functor)", lambda d, c: _pallas("map2_inplace", c)),
 ]
 

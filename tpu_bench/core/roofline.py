@@ -1,0 +1,72 @@
+"""Physical bandwidth ceilings from measured directional bandwidths.
+
+HBM read and write directions saturate at different rates (v5e measured:
+823 GB/s read-only — the full nominal 819, within differencing jitter —
+but only ~638 GB/s write-only), so a single "HBM peak" number over-states
+what any mixed-traffic kernel can do.  Two bounds bracket the achievable
+combined rate for a kernel moving R read and W written bytes:
+
+    shared-bus:   t >= R / bw_read + W / bw_write      (no overlap)
+    full-duplex:  t >= max(R / bw_read, W / bw_write)  (perfect overlap)
+
+Measured kernels land between them, by mix: the streaming add (2R:1W)
+sits at ~93% of the shared-bus bound, while the write-heavy blocked kron
+(27R:64W) exceeds shared-bus by ~12% — the chip overlaps the directions
+partially.  Nothing can exceed full-duplex, so that is the bound the
+committed-artifact honesty test enforces; shared-bus is the realistic
+target quoted in docs.
+
+benchmarks/ceilings.py measures the directional rates on the live chip and
+commits them (artifacts/ceilings/); these helpers turn them into per-
+benchmark ceilings so every committed throughput row can be judged against
+what the machine can physically do for that traffic mix — the reference
+applies the same logic implicitly by comparing against STREAM numbers
+(benchmark02/benchmark02.cc:255-259 counts 2R+1W).
+"""
+
+from __future__ import annotations
+
+
+def mixed_bandwidth(bw_read: float, bw_write: float, r_bytes: float,
+                    w_bytes: float, duplex: bool = False) -> float:
+    """Achievable combined GB/s for a kernel reading r_bytes and writing
+    w_bytes per repetition (bytes in any common unit).  duplex=False gives
+    the shared-bus (no-overlap) bound; duplex=True the full-duplex upper
+    bound."""
+    if r_bytes <= 0:
+        return bw_write
+    if w_bytes <= 0:
+        return bw_read
+    if duplex:
+        t = max(r_bytes / bw_read, w_bytes / bw_write)
+    else:
+        t = r_bytes / bw_read + w_bytes / bw_write
+    return (r_bytes + w_bytes) / t
+
+
+def stream_add_ceiling(bw_read: float, bw_write: float,
+                       duplex: bool = False) -> float:
+    """b02 ceiling in its own 3x-counted GB/s metric (2 reads + 1 write,
+    benchmark02/benchmark02.cc:255)."""
+    return mixed_bandwidth(bw_read, bw_write, 2.0, 1.0, duplex)
+
+
+def bwdtrans_ceiling_gdofs(bw_read: float, bw_write: float, nq: int,
+                           dim: int, itemsize: int,
+                           duplex: bool = False) -> float:
+    """b04/b05 physical peak in GDOF/s for quadrature order nq (uniform per
+    direction, nm = nq - 1): each element streams nm^dim values in and
+    nq^dim out; DOF counting is input modes (benchmark04.cc:1044,
+    benchmark05.cc:1408)."""
+    nm, q = (nq - 1) ** dim, nq ** dim
+    r_bytes = nm * itemsize
+    w_bytes = q * itemsize
+    bw = mixed_bandwidth(bw_read, bw_write, r_bytes, w_bytes, duplex)
+    bytes_per_dof = (r_bytes + w_bytes) / nm
+    return bw / bytes_per_dof
+
+
+def matvec_ceiling_gbs(bw_read: float) -> float:
+    """b03 ceiling in its own metric (counts A-matrix reads only,
+    benchmark03/benchmark03.cc:332): read-dominated, so the read rate."""
+    return bw_read
