@@ -23,6 +23,20 @@ def test_variants_match_oracle(nq, cfg64):
             np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
 
 
+def test_kron_coalesced_flat_layout(cfg64):
+    """The flat (nmTot, E) kron kernel retained alongside the blocked
+    Coales tier (kernels/bwdtrans2d.kron_blocked) for layout comparison."""
+    from tpu_bench.kernels import bwdtrans2d as pl_bt
+
+    nelmt = 128
+    data = b04.prepare(4, 4, nelmt, cfg64)
+    ref_norm = float(
+        np.linalg.norm(bwdtrans.reference2d(data["basis"], nelmt)))
+    out = pl_bt.kron_coalesced(data["in_coa"], data["c_coa"], epb=128,
+                               interpret=True)
+    assert l2norm(out) == pytest.approx(ref_norm, rel=1e-10)
+
+
 def test_golden_norm_nq8(cfg64):
     """Reference committed log value (benchmark04/nq8x8.log:3)."""
     data = b04.prepare(8, 8, 128, cfg64)

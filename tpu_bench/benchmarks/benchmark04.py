@@ -45,6 +45,11 @@ def _pl(fn, cfg, epb):
                                      precision=cfg.precision))
 
 
+def _pl_noepb(fn, cfg):
+    return jax.jit(functools.partial(fn, interpret=cfg.interpret,
+                                     precision=cfg.precision))
+
+
 def _xla(fn, cfg):
     return functools.partial(fn, precision=cfg.precision)
 
@@ -54,7 +59,6 @@ def variant_specs(data, cfg):
     at index 1 names the small operand the chained timer perturbs.  Keys
     resolve through ops.bwdtrans.Layouts, so derived layouts of the element
     stream materialize one variant at a time."""
-    epb = data["epb_kron"]
     epb_qp = data["epb_qp"]
     epb_1d = data["epb_1d"]
     return [
@@ -68,8 +72,8 @@ def variant_specs(data, cfg):
         ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg), ("in_coa", "c_coa")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em")),
-        ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, epb),
-         ("in_coa", "c_coa")),
+        ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
+         ("in_blk", "c_coa")),
         ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb_qp),
          ("in_pcoa3", "b0", "b1t")),
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb_qp),
@@ -144,6 +148,9 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             # p-major coalesced layout for the hybrid MXU/VPU QP kernels
             in_pcoa3=lambda: jnp.asarray(
                 in_coa.reshape(nm1, nm0, e_pad).transpose(1, 0, 2)),
+            # chunk-interleaved coalesced layout (contiguous per-block HBM
+            # chunks); chunk width = the kron tier's tuned epb
+            in_blk=lambda: bwdtrans.blocked_coa(in_coa, data["epb_kron"]),
         ),
     )
     data["epb_qp"] = epb
@@ -154,10 +161,11 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
 
         sig = f"nq{nq0}x{nq1}/e{at.e_pad_class(e_pad)}"
         data["epb_kron"] = at.autotune_epb(
-            "b04/kron", sig,
-            lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),
-                       (data["in_coa"], data["c_coa"])),
-            cfg, e_pad, default=epb)
+            "b04/kronblk", sig,
+            lambda e: (_pl_noepb(pl_bt.kron_blocked, cfg),
+                       (bwdtrans.blocked_coa(data["in_coa"], e),
+                        data["c_coa"])),
+            cfg, e_pad, default=epb_kron)
         in_pcoa3 = data["in_pcoa3"]
         data["epb_qp"] = at.autotune_epb(
             "b04/qp", sig,

@@ -34,6 +34,11 @@ def _pl(fn, cfg, epb):
                                      precision=cfg.precision))
 
 
+def _pl_noepb(fn, cfg):
+    return jax.jit(functools.partial(fn, interpret=cfg.interpret,
+                                     precision=cfg.precision))
+
+
 def _xla(fn, cfg):
     return functools.partial(fn, precision=cfg.precision)
 
@@ -60,8 +65,8 @@ def variant_specs(data, cfg):
         ("XLA(GEMM)", _xla(xla_bt.gemm_kron, cfg), ("in_coa", "c_coa3")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em3")),
-        ("Pallas(Coales)", _pl(pl_bt.kron_coalesced, cfg, data["epb_kron"]),
-         ("in_coa", "c_coa3")),
+        ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
+         ("in_blk", "c_coa3")),
         ("Pallas(QP)", _pl(pl_bt.qp_global3d, cfg, data["epb_qp"]),
          ("in_pcoa3", "b0", "c12t")),
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared3d, cfg, data["epb_qp"]),
@@ -141,6 +146,9 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
             # p-major coalesced layout for the hybrid MXU/VPU QP kernels
             in_pcoa3=lambda: jnp.asarray(
                 in_coa.reshape(nm2 * nm1, nm0, e_pad).transpose(1, 0, 2)),
+            # chunk-interleaved coalesced layout (contiguous per-block HBM
+            # chunks); chunk width = the kron tier's tuned epb
+            in_blk=lambda: bwdtrans.blocked_coa(in_coa, data["epb_kron"]),
         ),
     )
     if cfg.autotune and cfg.epb is None:
@@ -155,9 +163,10 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
             cfg, e_pad, default=epb_qp)
         del in_pcoa3
         data["epb_kron"] = at.autotune_epb(
-            "b05/kron", sig,
-            lambda e: (_pl(pl_bt.kron_coalesced, cfg, e),
-                       (data["in_coa"], data["c_coa3"])),
+            "b05/kronblk", sig,
+            lambda e: (_pl_noepb(pl_bt.kron_blocked, cfg),
+                       (bwdtrans.blocked_coa(data["in_coa"], e),
+                        data["c_coa3"])),
             cfg, e_pad, default=epb_kron)
         data["epb_1d"] = at.autotune_epb(
             "b05/1d", sig,

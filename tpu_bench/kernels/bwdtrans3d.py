@@ -32,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_bench.kernels.bwdtrans2d import (_dot, _parallel_params,
-                                          kron_coalesced, kron_elem_major,
-                                          _one_stage_em)
+                                          kron_blocked, kron_coalesced,
+                                          kron_elem_major, _one_stage_em)
 
 HIGHEST = jax.lax.Precision.HIGHEST
 

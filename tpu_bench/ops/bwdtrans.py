@@ -129,6 +129,17 @@ class Layouts:
         return Layouts({**self._base, **overrides}, self._derived)
 
 
+def blocked_coa(in_coa: jax.Array, ce: int) -> jax.Array:
+    """Chunk-interleave the coalesced layout: (nmTot, E) -> (E/ce, nmTot, ce)
+    so each ce-element chunk's modes are one contiguous HBM region (the
+    warp-interleaved layout of benchmark04/benchmark04.cc:859-875 with
+    chunk width ce instead of warpsize 32).  Untimed layout prep, like the
+    reference's host-side in_coa initialization."""
+    nm_tot, e = in_coa.shape
+    nblk = e // ce
+    return jnp.asarray(in_coa.reshape(nm_tot, nblk, ce).transpose(1, 0, 2))
+
+
 def pad_lanes(n: int, lanes: int = 128) -> int:
     """VMEM lane-dim footprint of an n-wide minor axis: element-major blocks
     (E, nmTot) pad nmTot up to the 128-lane tile, so their per-element VMEM
