@@ -56,31 +56,61 @@ def peak(path):
     return best
 
 
+def load_ceilings(artdir):
+    """(read, write) GB/s from the committed ceilings artifact, or None."""
+    import json
+
+    path = os.path.join(artdir, "ceilings", "ceilings.log")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("{"):
+                d = json.loads(line)
+                return d["read"], d["write"]
+    return None
+
+
 def build_table(artdir):
+    bw = load_ceilings(artdir)
     lines = [
-        "| Benchmark | Best TPU variant | Measured peak | Reference best "
-        "(A100-class, f64) |",
-        "|---|---|---|---|",
+        "| Benchmark | Best TPU variant | Measured peak | % of shared-bus "
+        "ceiling | Reference best (A100-class, f64) |",
+        "|---|---|---|---|---|",
     ]
 
-    def row(name, path, unit, ref, at=""):
+    def pct(v, cap):
+        if bw is None or cap is None:
+            return "—"
+        return f"{100 * v / cap:.0f}%"
+
+    def row(name, path, unit, ref, cap=None, at=""):
         v, lab, size = peak(path)
         lines.append(f"| {name} | {lab} | **{v:.1f} {unit}** "
-                     f"(@ {size}{at}) | {ref} |")
+                     f"(@ {size}{at}) | {pct(v, cap)} | {ref} |")
 
+    from tpu_bench.core import roofline
+
+    r, w = bw if bw else (None, None)
     row("b01 L2-norm reduction", f"{artdir}/b01/outfile.log", "GB/s",
-        REF["b01"])
+        REF["b01"], cap=r)
     row("b02 vector add x += y", f"{artdir}/b02/outfile.log", "GB/s",
-        REF["b02"])
-    row("b03 dense matvec", f"{artdir}/b03/outfile.log", "GB/s", REF["b03"])
+        REF["b02"], cap=roofline.stream_add_ceiling(r, w) if bw else None)
+    row("b03 dense matvec", f"{artdir}/b03/outfile.log", "GB/s", REF["b03"],
+        cap=r)
     for nq in (4, 8, 32):
         row(f"b04 2D BwdTrans nq={nq}²",
             f"{artdir}/b04/nq{nq}x{nq}.log", "GDOF/s", REF[("b04", nq)],
+            cap=(roofline.bwdtrans_ceiling_gdofs(r, w, nq, 2, 4)
+                 if bw else None),
             at=" elmts")
     for nq in (4, 8, 10):
         row(f"b05 3D BwdTrans nq={nq}³",
             f"{artdir}/b05/nq{nq}x{nq}x{nq}.log", "GDOF/s",
-            REF[("b05", nq)], at=" elmts")
+            REF[("b05", nq)],
+            cap=(roofline.bwdtrans_ceiling_gdofs(r, w, nq, 3, 4)
+                 if bw else None),
+            at=" elmts")
     return "\n".join(lines)
 
 
