@@ -93,7 +93,7 @@ def main(argv=None):
             if size * cfg.itemsize > cap:
                 reporter.note(f"b01: stopping sweep at size {size} (memory cap)")
                 break
-            run_test(size, cfg, reporter)
+            cli.guarded(reporter, "b01", size, run_test, size, cfg, reporter)
 
 
 if __name__ == "__main__":

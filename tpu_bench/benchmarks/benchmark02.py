@@ -155,7 +155,7 @@ def main(argv=None):
             if 4 * size * cfg.itemsize > cap:  # y + x + warmup scratch + slack
                 reporter.note(f"b02: stopping sweep at size {size} (memory cap)")
                 break
-            run_test(size, cfg, reporter)
+            cli.guarded(reporter, "b02", size, run_test, size, cfg, reporter)
 
 
 if __name__ == "__main__":

@@ -87,7 +87,7 @@ def main(argv=None):
             if 3 * size * size * cfg.itemsize > cap:  # A + A^T + slack
                 reporter.note(f"b03: stopping sweep at size {size} (memory cap)")
                 break
-            run_test(size, cfg, reporter)
+            cli.guarded(reporter, "b03", size, run_test, size, cfg, reporter)
 
 
 if __name__ == "__main__":

@@ -229,7 +229,7 @@ def main(argv=None):
             if need > cap:
                 reporter.note(f"b04: stopping sweep at nelmt {nelmt} (memory cap)")
                 break
-            run_test(nelmt, nq0, nq1, cfg, reporter)
+            cli.guarded(reporter, "b04", nelmt, run_test, nelmt, nq0, nq1, cfg, reporter)
 
 
 if __name__ == "__main__":

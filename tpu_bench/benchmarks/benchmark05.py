@@ -226,7 +226,7 @@ def main(argv=None):
             if need > cap:
                 reporter.note(f"b05: stopping sweep at nelmt {nelmt} (memory cap)")
                 break
-            run_test(nelmt, nq0, nq1, nq2, cfg, reporter)
+            cli.guarded(reporter, "b05", nelmt, run_test, nelmt, nq0, nq1, nq2, cfg, reporter)
 
 
 if __name__ == "__main__":

@@ -76,3 +76,15 @@ def sweep(default_min: int, default_max: int, args):
     while size <= hi:
         yield size
         size *= step
+
+
+def guarded(reporter, name, size, run, *args, **kwargs):
+    """Run one sweep point, isolating per-size failures (e.g. a transient
+    device OOM when several sweeps share the chip): the row is skipped with
+    a stderr note and the sweep continues — partial logs stay usable, the
+    append-to-log analog of the reference's redirect semantics
+    (benchmark04/run.sh:6-7)."""
+    try:
+        run(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 - deliberate per-row isolation
+        reporter.note(f"{name}: size {size} failed: {type(e).__name__}: {e}")
