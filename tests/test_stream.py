@@ -111,6 +111,30 @@ def test_bwdtrans_ceiling_hand_check():
             > roofline.bwdtrans_ceiling_gdofs(733, 643, 4, 3, 4))
 
 
+def test_committed_ceilings_artifact():
+    """The committed ceilings log must carry a parseable JSON summary with
+    physically sane directional rates (used by the honesty test and the
+    README table generator)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "ceilings", "ceilings.log")
+    if not os.path.exists(path):
+        pytest.skip("ceilings artifact not generated yet")
+    summary = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("{"):
+                summary = json.loads(line)
+    assert summary, "no JSON summary line"
+    for key in ("read", "write", "add_3x"):
+        assert key in summary, key
+    # v5e: reads near nominal 819, writes below, nothing wildly above
+    assert 500 < summary["write"] <= summary["read"] < 900
+    assert summary["add_3x"] < 3 * summary["read"]
+
+
 def test_ceilings_derived_table():
     from tpu_bench.benchmarks import ceilings
 
