@@ -1,0 +1,143 @@
+"""Re-measure artifact rows that violate their physical ceiling.
+
+Chain-differenced timing under heavy device sharing (six regeneration
+workers multiplexing one chip) occasionally produces an over-estimated
+row: the k_lo chain hits congestion the k_hi chain missed, the difference
+shrinks, and the implied rate overshoots.  min-of-reps bounds inflation of
+each chain time but not of the difference.  This pass finds rows whose
+best value exceeds the full-duplex ceiling for the benchmark's traffic
+mix (core/roofline.py x the committed ceilings artifact), re-runs exactly
+those sweep points SOLO, and splices the fresh Case/norm/value lines into
+the log in place.
+
+Usage: python scripts/repair_rows.py [artifact root]   (run with the chip idle)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import io
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+TOL = 1.03
+
+
+def ceilings(artdir):
+    with open(os.path.join(artdir, "ceilings", "ceilings.log")) as f:
+        for line in f:
+            if line.startswith("{"):
+                d = json.loads(line)
+                return d["read"], d["write"]
+    raise SystemExit("no ceilings JSON in artifacts")
+
+
+def rows_of(path, unit):
+    out = []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 3 and tok[2] == unit + ":":
+                out.append((int(tok[1]), max(float(v) for v in tok[3:])))
+    return out
+
+
+def rerun(mod_main, argv):
+    """Run a benchmark main with pinned size; return its stdout lines."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod_main(argv)
+    return buf.getvalue().splitlines()
+
+
+def splice(path, size, fresh_lines):
+    """Replace the Case/norm/value line triple for `size` in the log."""
+    keep = {"Case:", "norm:"}
+    fresh = [ln for ln in fresh_lines
+             if len(ln.split()) >= 3 and ln.split()[1] == str(size)
+             and (ln.split()[2] in keep or ln.split()[2].endswith("/s:"))]
+    if not fresh:
+        print(f"  !! rerun produced no row for {size}; leaving {path}")
+        return
+    out = []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 3 and tok[1] == str(size) and (
+                    tok[2] in keep or tok[2].endswith("/s:")):
+                continue  # drop the stale triple (re-inserted below)
+            out.append(line.rstrip("\n"))
+    # insert the fresh triple before the first row of a larger size, or at
+    # the end of the file
+    insert_at = len(out)
+    for i, line in enumerate(out):
+        tok = line.split()
+        if (len(tok) >= 3 and tok[2] == "Case:" and tok[1].isdigit()
+                and int(tok[1]) > size):
+            insert_at = i
+            break
+    out[insert_at:insert_at] = fresh
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+def main():
+    artdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT,
+                                                                "artifacts")
+    sys.path.insert(0, ROOT)
+    from tpu_bench.core import roofline
+    from tpu_bench.benchmarks import (benchmark01, benchmark02, benchmark03,
+                                      benchmark04, benchmark05)
+
+    bw_r, bw_w = ceilings(artdir)
+    jobs = []  # (path, size, mod_main, argv)
+
+    def stream(name, mod_main, mix):
+        cap = roofline.mixed_bandwidth(bw_r, bw_w, *mix, duplex=True) * TOL
+        for path in glob.glob(os.path.join(artdir, "**", name, "outfile.log"),
+                              recursive=True):
+            dt = ["--dtype", "f64"] if f"{os.sep}f64{os.sep}" in path else []
+            for size, v in rows_of(path, "GB/s"):
+                if v > cap:
+                    jobs.append((path, size, v, cap, mod_main,
+                                 [f"--min-size={size}", f"--max-size={size}"]
+                                 + dt))
+
+    def bwdtrans(name, mod_main, dim):
+        for path in glob.glob(os.path.join(artdir, "**", name, "nq*.log"),
+                              recursive=True):
+            nq = int(re.search(r"nq(\d+)x", os.path.basename(path)).group(1))
+            f64 = f"{os.sep}f64{os.sep}" in path
+            it = 8 if f64 else 4
+            cap = roofline.bwdtrans_ceiling_gdofs(
+                bw_r, bw_w, nq, dim, it, duplex=True) * TOL
+            for size, v in rows_of(path, "DOF/s"):
+                if v > cap:
+                    argv = [str(nq)] * dim + [f"--min-size={size}",
+                                              f"--max-size={size}"]
+                    if f64:
+                        argv += ["--dtype", "f64"]
+                    jobs.append((path, size, v, cap, mod_main, argv))
+
+    stream("b01", benchmark01.main, (1, 0))
+    stream("b02", benchmark02.main, (2, 1))
+    stream("b03", benchmark03.main, (1, 0))
+    bwdtrans("b04", benchmark04.main, 2)
+    bwdtrans("b05", benchmark05.main, 3)
+
+    if not jobs:
+        print("all rows within ceilings; nothing to repair")
+        return
+    for path, size, v, cap, mod_main, argv in jobs:
+        print(f"repair {path} size {size}: {v:.1f} > cap {cap:.1f}")
+        lines = rerun(mod_main, argv)
+        splice(path, size, lines)
+    print(f"repaired {len(jobs)} rows")
+
+
+if __name__ == "__main__":
+    main()

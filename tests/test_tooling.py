@@ -68,3 +68,40 @@ def test_witness_sumsq_matches_l2norm():
     # tuple outputs use the first element (pallas multi-output kernels)
     w2 = float(timing._witness_sumsq((x, None)))
     assert w2 == pytest.approx(w)
+
+
+def test_repair_rows_splice(tmp_path):
+    """scripts/repair_rows.py log surgery: the stale triple is replaced in
+    place, everything else byte-identical."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "repair_rows",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "repair_rows.py"))
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)
+
+    log = tmp_path / "outfile.log"
+    log.write_text(
+        "header\n"
+        "Size 1024 Case: A B\n"
+        "Size 1024 norm: 1 1\n"
+        "Size 1024 GB/s: 10 20\n"
+        "Size 2048 Case: A B\n"
+        "Size 2048 norm: 2 2\n"
+        "Size 2048 GB/s: 999 20\n"
+        "Size 4096 Case: A B\n"
+        "Size 4096 norm: 3 3\n"
+        "Size 4096 GB/s: 30 40\n")
+    fresh = ["Size 2048 Case: A B", "Size 2048 norm: 2 2",
+             "Size 2048 GB/s: 25 20", "noise line"]
+    rr.splice(str(log), 2048, fresh)
+    text = log.read_text()
+    assert "999" not in text
+    assert "Size 2048 GB/s: 25 20" in text
+    # order preserved: 1024 triple, then 2048, then 4096
+    assert text.index("Size 1024 GB/s") < text.index("Size 2048 GB/s") \
+        < text.index("Size 4096 GB/s")
+    assert rr.rows_of(str(log), "GB/s") == [(1024, 20.0), (2048, 25.0),
+                                            (4096, 40.0)]

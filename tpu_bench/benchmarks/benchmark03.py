@@ -26,7 +26,7 @@ from tpu_bench.baselines import matvec as xla_mv
 from tpu_bench.core.config import Config
 from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
-from tpu_bench.core.timing import eps_chain, measure
+from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
 from tpu_bench.kernels import matvec as pl_mv
