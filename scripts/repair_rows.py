@@ -10,7 +10,15 @@ mix (core/roofline.py x the committed ceilings artifact), re-runs exactly
 those sweep points SOLO, and splices the fresh Case/norm/value lines into
 the log in place.
 
-Usage: python scripts/repair_rows.py [artifact root]   (run with the chip idle)
+A second mode, --peaks, addresses the opposite bias: rows measured while
+the six regeneration workers shared the chip are *depressed* (min-of-reps
+rarely lands in an idle gap), and the depressed peaks would understate the
+committed baseline.  --peaks re-runs each log's headline rows — the row
+with the best value and the largest-size row — solo and splices the fresh
+uncontended triple in, whatever it reads.
+
+Usage: python scripts/repair_rows.py [artifact root] [--peaks]
+       (run with the chip idle)
 """
 
 from __future__ import annotations
@@ -85,9 +93,19 @@ def splice(path, size, fresh_lines):
         f.write("\n".join(out) + "\n")
 
 
+def peak_sizes(rows):
+    """The sizes worth a solo refresh: best-value row + largest row."""
+    if not rows:
+        return []
+    best = max(rows, key=lambda r: r[1])[0]
+    last = max(rows, key=lambda r: r[0])[0]
+    return sorted({best, last})
+
+
 def main():
-    artdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT,
-                                                                "artifacts")
+    argv = [a for a in sys.argv[1:] if a != "--peaks"]
+    peaks = len(argv) != len(sys.argv) - 1
+    artdir = argv[0] if argv else os.path.join(ROOT, "artifacts")
     sys.path.insert(0, ROOT)
     from tpu_bench.core import roofline
     from tpu_bench.benchmarks import (benchmark01, benchmark02, benchmark03,
@@ -101,11 +119,15 @@ def main():
         for path in glob.glob(os.path.join(artdir, "**", name, "outfile.log"),
                               recursive=True):
             dt = ["--dtype", "f64"] if f"{os.sep}f64{os.sep}" in path else []
-            for size, v in rows_of(path, "GB/s"):
-                if v > cap:
-                    jobs.append((path, size, v, cap, mod_main,
-                                 [f"--min-size={size}", f"--max-size={size}"]
-                                 + dt))
+            rows = rows_of(path, "GB/s")
+            if peaks:
+                picks = [(s, v) for s, v in rows if s in peak_sizes(rows)]
+            else:
+                picks = [(s, v) for s, v in rows if v > cap]
+            for size, v in picks:
+                jobs.append((path, size, v, cap, mod_main,
+                             [f"--min-size={size}", f"--max-size={size}"]
+                             + dt))
 
     def bwdtrans(name, mod_main, dim):
         for path in glob.glob(os.path.join(artdir, "**", name, "nq*.log"),
@@ -115,13 +137,17 @@ def main():
             it = 8 if f64 else 4
             cap = roofline.bwdtrans_ceiling_gdofs(
                 bw_r, bw_w, nq, dim, it, duplex=True) * TOL
-            for size, v in rows_of(path, "DOF/s"):
-                if v > cap:
-                    argv = [str(nq)] * dim + [f"--min-size={size}",
-                                              f"--max-size={size}"]
-                    if f64:
-                        argv += ["--dtype", "f64"]
-                    jobs.append((path, size, v, cap, mod_main, argv))
+            rows = rows_of(path, "DOF/s")
+            if peaks:
+                picks = [(s, v) for s, v in rows if s in peak_sizes(rows)]
+            else:
+                picks = [(s, v) for s, v in rows if v > cap]
+            for size, v in picks:
+                argv = [str(nq)] * dim + [f"--min-size={size}",
+                                          f"--max-size={size}"]
+                if f64:
+                    argv += ["--dtype", "f64"]
+                jobs.append((path, size, v, cap, mod_main, argv))
 
     stream("b01", benchmark01.main, (1, 0))
     stream("b02", benchmark02.main, (2, 1))
@@ -133,10 +159,13 @@ def main():
         print("all rows within ceilings; nothing to repair")
         return
     for path, size, v, cap, mod_main, argv in jobs:
-        print(f"repair {path} size {size}: {v:.1f} > cap {cap:.1f}")
+        if peaks:
+            print(f"refresh {path} size {size} solo (was {v:.1f})")
+        else:
+            print(f"repair {path} size {size}: {v:.1f} > cap {cap:.1f}")
         lines = rerun(mod_main, argv)
         splice(path, size, lines)
-    print(f"repaired {len(jobs)} rows")
+    print(f"{'refreshed' if peaks else 'repaired'} {len(jobs)} rows")
 
 
 if __name__ == "__main__":

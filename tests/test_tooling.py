@@ -105,3 +105,7 @@ def test_repair_rows_splice(tmp_path):
         < text.index("Size 4096 GB/s")
     assert rr.rows_of(str(log), "GB/s") == [(1024, 20.0), (2048, 25.0),
                                             (4096, 40.0)]
+    # --peaks picks the best-value row and the largest row (deduped)
+    assert rr.peak_sizes(rr.rows_of(str(log), "GB/s")) == [4096]
+    assert rr.peak_sizes([(128, 50.0), (256, 10.0)]) == [128, 256]
+    assert rr.peak_sizes([]) == []
