@@ -265,29 +265,39 @@ def time_chained(
             compiler_options=compiler_options)
     witness = float(run_k(jnp.int32(1), *args))  # compile + warm
     lat = sync_latency()
-    reps = max(4, min(10, n_tests // 4))
+    # The window must DWARF the link latency (3x, not a fraction of it):
+    # the differenced minima each carry the latency jitter of their own
+    # best rep, so a ~0.3*lat window leaves up to ~10% error that
+    # min-of-reps turns into systematic inflation (observed: a 268 MB 1R
+    # sweep row reading 890 GB/s against the chip's 805 measured read
+    # ceiling).  With diff > 3*lat residual jitter bounds the error at the
+    # low single-digit percent level.
+    target = max(8e-3, 3.0 * lat)
 
-    def best_of(k):
+    def timed(k):
         kk = jnp.int32(k)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run_k(kk, *args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        float(run_k(kk, *args))
+        return time.perf_counter() - t0
 
+    # scout the chain length with single runs (cheap: ~1.3x the final t_hi
+    # in total), then min-of-reps only at the chosen level
     k_hi = 64
     while True:
         k_lo = max(1, k_hi // 8)
-        t_lo = best_of(k_lo)
-        t_hi = best_of(k_hi)
-        diff = t_hi - t_lo
-        # resolved when the window dwarfs latency jitter, or the run is
-        # already long, or the chain length is at its cap
-        if diff > max(8e-3, 0.3 * lat) or t_hi > 2.0 or k_hi >= (1 << 20):
+        t_hi = timed(k_hi)
+        if (t_hi - timed(k_lo)) > target or t_hi > 2.0 or k_hi >= (1 << 20):
             break
         k_hi *= 8
-    per = diff / (k_hi - k_lo)
+
+    # long chains need fewer reps — the window already dwarfs jitter, so
+    # min() is outlier rejection, not noise averaging
+    reps = max(4, min(10, n_tests // 4))
+    if t_hi > 0.5:
+        reps = max(3, reps // 2)
+    best_lo = min(timed(k_lo) for _ in range(reps))
+    best_hi = min(timed(k_hi) for _ in range(reps))
+    per = (best_hi - best_lo) / (k_hi - k_lo)
     return max(per, 1e-12), witness
 
 
