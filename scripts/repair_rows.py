@@ -118,10 +118,15 @@ def main():
         cap = roofline.mixed_bandwidth(bw_r, bw_w, *mix, duplex=True) * TOL
         for path in glob.glob(os.path.join(artdir, "**", name, "outfile.log"),
                               recursive=True):
-            dt = ["--dtype", "f64"] if f"{os.sep}f64{os.sep}" in path else []
+            f64 = f"{os.sep}f64{os.sep}" in path
+            dt = ["--dtype", "f64"] if f64 else []
             rows = rows_of(path, "GB/s")
             if peaks:
-                picks = [(s, v) for s, v in rows if s in peak_sizes(rows)]
+                # f64 logs are norm-parity artifacts, not perf claims, and
+                # their multi-GB host<->device marshalling makes solo
+                # reruns hour-scale — ceiling repair still covers them
+                picks = [] if f64 else [
+                    (s, v) for s, v in rows if s in peak_sizes(rows)]
             else:
                 picks = [(s, v) for s, v in rows if v > cap]
             for size, v in picks:
@@ -139,7 +144,8 @@ def main():
                 bw_r, bw_w, nq, dim, it, duplex=True) * TOL
             rows = rows_of(path, "DOF/s")
             if peaks:
-                picks = [(s, v) for s, v in rows if s in peak_sizes(rows)]
+                picks = [] if f64 else [
+                    (s, v) for s, v in rows if s in peak_sizes(rows)]
             else:
                 picks = [(s, v) for s, v in rows if v > cap]
             for size, v in picks:
