@@ -4,14 +4,11 @@ The judge-facing honesty criterion (VERDICT r1 #1): no committed value may
 exceed what the chip can physically stream for that benchmark's traffic
 mix.  The bound is the FULL-DUPLEX ceiling (core/roofline.py) built from
 the directional bandwidths measured on the same chip and committed in
-artifacts/ceilings/ceilings.log — reads ~823 GB/s, writes ~638 GB/s on the
-v5e.  Chained timing enforces honesty physically (core/timing.honest_
-options); this test enforces it on the committed logs so a regression
-cannot be committed unnoticed.
-
-Staged in scripts/ until the round-2 artifact regeneration lands; then
-move to tests/test_artifact_honesty.py (it fails against the residency-
-inflated round-1 logs by design).
+artifacts/ceilings/ceilings.log — reads ~761 GB/s, writes ~660 GB/s on
+the v5e (fixed-window chained timing).  Chained timing enforces honesty
+physically (core/timing.honest_options); this test enforces it on the
+committed logs so a regression cannot be committed unnoticed.  (It fails
+against the residency-inflated round-1 logs by design.)
 """
 
 import glob
