@@ -155,23 +155,40 @@ def main():
                     argv += ["--dtype", "f64"]
                 jobs.append((path, size, v, cap, mod_main, argv))
 
-    stream("b01", benchmark01.main, (1, 0))
-    stream("b02", benchmark02.main, (2, 1))
-    stream("b03", benchmark03.main, (1, 0))
-    bwdtrans("b04", benchmark04.main, 2)
-    bwdtrans("b05", benchmark05.main, 3)
+    def collect():
+        jobs.clear()
+        stream("b01", benchmark01.main, (1, 0))
+        stream("b02", benchmark02.main, (2, 1))
+        stream("b03", benchmark03.main, (1, 0))
+        bwdtrans("b04", benchmark04.main, 2)
+        bwdtrans("b05", benchmark05.main, 3)
 
-    if not jobs:
-        print("all rows within ceilings; nothing to repair")
-        return
-    for path, size, v, cap, mod_main, argv in jobs:
+    # A refreshed value usually drops a contention-inflated best row, which
+    # can promote a different stale row to "best" — iterate until every
+    # log's current best has been refreshed in THIS run (bounded: each pass
+    # only re-runs not-yet-refreshed (path, size) pairs).
+    refreshed = set()
+    for sweep in range(8 if peaks else 1):
+        collect()
         if peaks:
-            print(f"refresh {path} size {size} solo (was {v:.1f})")
-        else:
-            print(f"repair {path} size {size}: {v:.1f} > cap {cap:.1f}")
-        lines = rerun(mod_main, argv)
-        splice(path, size, lines)
-    print(f"{'refreshed' if peaks else 'repaired'} {len(jobs)} rows")
+            jobs[:] = [j for j in jobs if (j[0], j[1]) not in refreshed]
+        if not jobs:
+            if sweep == 0:
+                print("all rows within ceilings; nothing to repair"
+                      if not peaks else "no peak rows to refresh")
+            break
+        for path, size, v, cap, mod_main, argv in jobs:
+            if peaks:
+                print(f"refresh {path} size {size} solo (was {v:.1f})",
+                      flush=True)
+            else:
+                print(f"repair {path} size {size}: {v:.1f} > cap {cap:.1f}",
+                      flush=True)
+            lines = rerun(mod_main, argv)
+            splice(path, size, lines)
+            refreshed.add((path, size))
+        print(f"{'refreshed' if peaks else 'repaired'} {len(jobs)} rows "
+              f"(pass {sweep + 1})")
 
 
 if __name__ == "__main__":
