@@ -58,6 +58,25 @@ def test_readme_table_parses_committed_logs():
     assert v > 0 and size > 0 and lab
 
 
+def test_readme_table_in_sync_with_artifacts():
+    """README's generated performance table must match the committed logs
+    (scripts/readme_table.py --check semantics) so it cannot drift."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import readme_table
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    if not os.path.exists(os.path.join(root, "artifacts", "b01",
+                                       "outfile.log")):
+        pytest.skip("no committed artifacts")
+    table = readme_table.build_table(os.path.join(root, "artifacts"))
+    readme = open(os.path.join(root, "README.md")).read()
+    start = readme.index(readme_table.START) + len(readme_table.START)
+    end = readme.index(readme_table.END)
+    assert readme[start:end].strip() == table.strip(), (
+        "README table stale — run scripts/readme_table.py")
+
+
 def test_witness_sumsq_matches_l2norm():
     from tpu_bench.core.validate import l2norm
 
