@@ -9,7 +9,7 @@ Measures, at N elements f32 (all >> VMEM, chained timing):
 All reported as effective GB/s with the b02 3x metric where applicable.
 """
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

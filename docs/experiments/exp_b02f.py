@@ -1,6 +1,6 @@
 """b02 probe 2: directional ceilings + dual-queue manual pipelines."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

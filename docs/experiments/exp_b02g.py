@@ -1,6 +1,6 @@
 """b02 final tuning sweep for the manual-DMA add pipeline."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from tpu_bench.core import timing

@@ -24,7 +24,8 @@ import functools
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

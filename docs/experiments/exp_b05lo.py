@@ -1,6 +1,6 @@
 """b05 low-order (nq=2,4) honest epb sweep."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from tpu_bench.core.config import Config

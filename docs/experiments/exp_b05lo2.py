@@ -1,6 +1,6 @@
 """Low-order kron: VPU broadcast formulation + precision ladder."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -1,6 +1,6 @@
 """nq2 flat-chunk VPU kron; nq4 manual bf16x3 MXU kron."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,6 @@
 """Time the bf16x3 kron at nq=2,4."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,7 +8,7 @@ from tpu_bench.core.config import Config
 from tpu_bench.core import timing
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.benchmarks import benchmark05 as b05
-sys.path.insert(0, "/root/repo/scripts")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__)))
 from exp_b05lo3 import kron_b3
 
 cfg = Config(n_tests=16)

@@ -1,6 +1,6 @@
 """DMA ceiling probe for the nq4 stream shape; f64 support probe."""
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -6,7 +6,7 @@ Write-heavy mixed ceiling ~= 364 / (108/733 + 256/643) = 667 GB/s
 => ~49.5 GDOF/s physical ceiling at HBM-resident sizes.
 """
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

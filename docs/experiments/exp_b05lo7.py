@@ -4,7 +4,7 @@ in  (nblk*27, ce) -> out (nblk*64, ce), resident C (64, 27), MXU dot per
 chunk.  Contiguous chunk DMAs (the strided variant does not compile).
 """
 import sys, functools
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

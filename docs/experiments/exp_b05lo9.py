@@ -1,6 +1,6 @@
 """Bisect the Mosaic ring crash: row count x lane width of the slot ring."""
-import sys
-sys.path.insert(0, "/root/repo")
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -1,6 +1,6 @@
 """Round 2: starve MSA's alternate-memory pool via scoped-vmem limit."""
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax, functools
 import jax.numpy as jnp
 from tpu_bench.kernels import axpy as pl_axpy

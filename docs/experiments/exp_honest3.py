@@ -1,5 +1,5 @@
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import jax, functools
 import jax.numpy as jnp
 from tpu_bench.kernels import axpy as pl_axpy

@@ -44,6 +44,17 @@ def ceilings(artdir):
     raise SystemExit("no ceilings JSON in artifacts")
 
 
+def dtype_of(path):
+    """(dtype flag args, itemsize) for an artifact log path.  Tier dirs
+    (artifacts/f64/, artifacts/bf16/) mark non-f32 runs; reruns must carry
+    the matching --dtype or they would splice f32 rows into the tier."""
+    if f"{os.sep}f64{os.sep}" in path:
+        return ["--dtype", "f64"], 8
+    if f"{os.sep}bf16{os.sep}" in path:
+        return ["--dtype", "bf16"], 2
+    return [], 4
+
+
 def rows_of(path, unit):
     out = []
     with open(path) as f:
@@ -118,8 +129,8 @@ def main():
         cap = roofline.mixed_bandwidth(bw_r, bw_w, *mix, duplex=True) * TOL
         for path in glob.glob(os.path.join(artdir, "**", name, "outfile.log"),
                               recursive=True):
-            f64 = f"{os.sep}f64{os.sep}" in path
-            dt = ["--dtype", "f64"] if f64 else []
+            dt, _ = dtype_of(path)
+            f64 = dt[1:] == ["f64"]
             rows = rows_of(path, "GB/s")
             if peaks:
                 # f64 logs are norm-parity artifacts, not perf claims, and
@@ -138,21 +149,21 @@ def main():
         for path in glob.glob(os.path.join(artdir, "**", name, "nq*.log"),
                               recursive=True):
             nq = int(re.search(r"nq(\d+)x", os.path.basename(path)).group(1))
-            f64 = f"{os.sep}f64{os.sep}" in path
-            it = 8 if f64 else 4
+            dt, it = dtype_of(path)
+            f64 = dt[1:] == ["f64"]
             cap = roofline.bwdtrans_ceiling_gdofs(
                 bw_r, bw_w, nq, dim, it, duplex=True) * TOL
             rows = rows_of(path, "DOF/s")
             if peaks:
+                # f64 skipped (norm-parity artifacts, hour-scale reruns);
+                # bf16 IS a perf claim and gets the solo peak refresh
                 picks = [] if f64 else [
                     (s, v) for s, v in rows if s in peak_sizes(rows)]
             else:
                 picks = [(s, v) for s, v in rows if v > cap]
             for size, v in picks:
                 argv = [str(nq)] * dim + [f"--min-size={size}",
-                                          f"--max-size={size}"]
-                if f64:
-                    argv += ["--dtype", "f64"]
+                                          f"--max-size={size}"] + dt
                 jobs.append((path, size, v, cap, mod_main, argv))
 
     def collect():

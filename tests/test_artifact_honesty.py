@@ -45,12 +45,18 @@ def iter_rows(path, unit):
 
 
 def _itemsize(path):
-    return 8 if f"{os.sep}f64{os.sep}" in path else 4
+    if f"{os.sep}f64{os.sep}" in path:
+        return 8
+    if f"{os.sep}bf16{os.sep}" in path:
+        return 2
+    return 4
 
 
 def _logs(pattern):
+    """Every committed tier is ceiling-enforced: f32, f64, and bf16."""
     return sorted(glob.glob(os.path.join(ROOT, "artifacts", pattern)) +
-                  glob.glob(os.path.join(ROOT, "artifacts", "f64", pattern)))
+                  glob.glob(os.path.join(ROOT, "artifacts", "f64", pattern)) +
+                  glob.glob(os.path.join(ROOT, "artifacts", "bf16", pattern)))
 
 
 @pytest.mark.parametrize("name,mix", [

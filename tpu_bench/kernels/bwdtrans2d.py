@@ -36,7 +36,17 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _dot(a, b, precision):
-    return jnp.dot(a, b, preferred_element_type=a.dtype, precision=precision)
+    # MXU accumulation is 32-bit minimum: for bf16 operands request an f32
+    # accumulator (Mosaic rejects a bf16 acc outright) and let the caller
+    # cast on store.  f32/f64 pass through unchanged.  Precision only
+    # controls the bf16-decomposition of f32 operands — for bf16 inputs a
+    # single MXU pass is already exact, so drop the request (Mosaic's
+    # matmul lowering cannot honor HIGHEST on bf16).
+    dt = jnp.result_type(a.dtype, b.dtype)
+    if dt == jnp.bfloat16:
+        precision = None
+    return jnp.dot(a, b, preferred_element_type=common.acc_dtype(dt),
+                   precision=precision)
 
 
 def _parallel_params(interpret):
@@ -50,7 +60,7 @@ def _parallel_params(interpret):
 
 def _kron_coa_kernel(precision, c_ref, in_ref, out_ref):
     # single dense operator GEMM: out[(j,i), e] = C_coa[(j,i),(q,p)] in[(q,p), e]
-    out_ref[:] = _dot(c_ref[:], in_ref[:], precision)
+    out_ref[:] = _dot(c_ref[:], in_ref[:], precision).astype(out_ref.dtype)
 
 
 def kron_coalesced(in_coa, c_coa, *, epb, interpret=False, precision=HIGHEST):
@@ -77,7 +87,7 @@ def kron_coalesced(in_coa, c_coa, *, epb, interpret=False, precision=HIGHEST):
 
 
 def _kron_blk_kernel(precision, c_ref, in_ref, out_ref):
-    out_ref[0] = _dot(c_ref[:], in_ref[0], precision)
+    out_ref[0] = _dot(c_ref[:], in_ref[0], precision).astype(out_ref.dtype)
 
 
 def kron_blocked(in_blk, c_coa, *, interpret=False, precision=HIGHEST):
@@ -111,12 +121,13 @@ def kron_blocked(in_blk, c_coa, *, interpret=False, precision=HIGHEST):
 
 
 def _qp_fused_kernel(nm0, nq0, precision, b1t_ref, b0_ref, in_ref, out_ref):
+    odt = out_ref.dtype
     for p in range(nm0):
-        # stage 1 (MXU): contract the q modes for mode p
+        # stage 1 (MXU): contract the q modes for mode p (f32 accumulator)
         tmp = _dot(b1t_ref[:], in_ref[p], precision)
         # stage 2 (VPU): accumulate mode p into every output plane i
         for i in range(nq0):
-            contrib = tmp * b0_ref[p, i]
+            contrib = (tmp * b0_ref[p, i]).astype(odt)
             if p == 0:
                 out_ref[i] = contrib
             else:
@@ -131,6 +142,8 @@ def qp_shared(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
     element.  Input is p-major coalesced (nm0, nm1, E); output is i-major
     (nq0, nq1, E) — L2 norms are layout-invariant, which is what the
     cross-variant validation compares."""
+    # SMEM holds 32-bit scalars: widen a bf16 basis for the scalar operand
+    b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))
     nm0, nm1, e = in_pcoa3.shape
     nq0 = b0.shape[1]
     nq1 = b1t.shape[0]
@@ -157,7 +170,7 @@ def qp_shared(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
 def _stage1_kernel(nm0, precision, b1t_ref, in_ref, w_ref):
     # contract the q modes per p mode: w[p] = B1T @ in[p]
     for p in range(nm0):
-        w_ref[p] = _dot(b1t_ref[:], in_ref[p], precision)
+        w_ref[p] = _dot(b1t_ref[:], in_ref[p], precision).astype(w_ref.dtype)
 
 
 def _stage2_kernel(nm0, nq0, b0_ref, w_ref, out_ref):
@@ -166,13 +179,14 @@ def _stage2_kernel(nm0, nq0, b0_ref, w_ref, out_ref):
         acc = w_ref[0] * b0_ref[0, i]
         for p in range(1, nm0):
             acc += w_ref[p] * b0_ref[p, i]
-        out_ref[i] = acc
+        out_ref[i] = acc.astype(out_ref.dtype)
 
 
 def qp_global(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
     """Same stage split as two pallas_calls with the stage-1 workspace
     round-tripping via HBM (the global-workspace QP analog,
     benchmark04/benchmark04.cc:149-204)."""
+    b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))  # SMEM is 32-bit
     nm0, nm1, e = in_pcoa3.shape
     nq0 = b0.shape[1]
     nq1 = b1t.shape[0]
@@ -213,7 +227,7 @@ def qp_global(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
 
 
 def _kron_em_kernel(precision, c_ref, in_ref, out_ref):
-    out_ref[:] = _dot(in_ref[:], c_ref[:], precision)
+    out_ref[:] = _dot(in_ref[:], c_ref[:], precision).astype(out_ref.dtype)
 
 
 def kron_elem_major(in_em2, c_em, *, epb, interpret=False, precision=HIGHEST):
@@ -241,8 +255,8 @@ def kron_elem_major(in_em2, c_em, *, epb, interpret=False, precision=HIGHEST):
 
 
 def _stages_em_kernel(precision, s1_ref, s2_ref, in_ref, out_ref, w_ref):
-    w_ref[:] = _dot(in_ref[:], s1_ref[:], precision)
-    out_ref[:] = _dot(w_ref[:], s2_ref[:], precision)
+    w_ref[:] = _dot(in_ref[:], s1_ref[:], precision).astype(w_ref.dtype)
+    out_ref[:] = _dot(w_ref[:], s2_ref[:], precision).astype(out_ref.dtype)
 
 
 def qp1d_shared(in_em2, s1_em, s2_em, *, epb, interpret=False,
@@ -276,7 +290,7 @@ def qp1d_shared(in_em2, s1_em, s2_em, *, epb, interpret=False,
 
 
 def _stage_em_kernel(precision, s_ref, in_ref, out_ref):
-    out_ref[:] = _dot(in_ref[:], s_ref[:], precision)
+    out_ref[:] = _dot(in_ref[:], s_ref[:], precision).astype(out_ref.dtype)
 
 
 def _one_stage_em(x, s, *, epb, interpret, precision):

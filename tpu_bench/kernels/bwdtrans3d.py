@@ -30,6 +30,7 @@ import jax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_bench.kernels import common
 from tpu_bench.kernels.bwdtrans2d import (_dot, _parallel_params,
                                           kron_blocked, kron_coalesced,
                                           kron_elem_major, _one_stage_em)
@@ -49,11 +50,14 @@ def _qp_fused_kernel3d(nm0, nq0, precision, c12t_ref, b0_ref, in_ref,
     # vs accumulating planes (read-modify-write of the nqTot-sized output
     # block per p) this halves on-chip traffic: measured 66 vs 58 GDOF/s
     # at nq=8^3 on v5e.
+    idt = in_ref.dtype
     for i in range(nq0):
-        v = in_ref[0] * b0_ref[0, i]
+        # keep v in the input dtype so the MXU dot stays native (bf16 in,
+        # f32 acc); the SMEM basis scalar is f32 and narrows per plane
+        v = in_ref[0] * b0_ref[0, i].astype(idt)
         for p in range(1, nm0):
-            v += in_ref[p] * b0_ref[p, i]
-        out_ref[i] = _dot(c12t_ref[:], v, precision)
+            v += in_ref[p] * b0_ref[p, i].astype(idt)
+        out_ref[i] = _dot(c12t_ref[:], v, precision).astype(out_ref.dtype)
 
 
 def qp_shared3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
@@ -61,6 +65,7 @@ def qp_shared3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
     """Fused 3-stage contraction with on-chip workspaces (the __shared__ QP
     hex analog, benchmark05/benchmark05.cc:291-429): VPU combination of the
     p modes per output plane, one MXU pair-contraction per plane."""
+    b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))  # SMEM is 32-bit
     nm0, nrq, e = in_pcoa3.shape       # nrq = nm2*nm1
     nq0 = b0.shape[1]
     nkj = c12t.shape[0]                # nq2*nq1
@@ -87,7 +92,8 @@ def qp_shared3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
 def _stage1_kernel3d(nm0, precision, c12t_ref, in_ref, w_ref):
     # contract the (r, q) pair per p mode: w[p] = C12T @ in[p]
     for p in range(nm0):
-        w_ref[p] = _dot(c12t_ref[:], in_ref[p], precision)
+        w_ref[p] = _dot(c12t_ref[:], in_ref[p],
+                        precision).astype(w_ref.dtype)
 
 
 def _stage2_kernel3d(nm0, nq0, b0_ref, w_ref, out_ref):
@@ -96,7 +102,7 @@ def _stage2_kernel3d(nm0, nq0, b0_ref, w_ref, out_ref):
         acc = w_ref[0] * b0_ref[0, i]
         for p in range(1, nm0):
             acc += w_ref[p] * b0_ref[p, i]
-        out_ref[i] = acc
+        out_ref[i] = acc.astype(out_ref.dtype)
 
 
 def qp_global3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
@@ -104,6 +110,7 @@ def qp_global3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
     """Same stage split as two pallas_calls with the pair-contraction
     workspace round-tripping through HBM (the global-workspace QP hex
     analog, benchmark05/benchmark05.cc:203-289)."""
+    b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))  # SMEM is 32-bit
     nm0, nrq, e = in_pcoa3.shape
     nq0 = b0.shape[1]
     nkj = c12t.shape[0]
@@ -145,9 +152,9 @@ def qp_global3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
 
 def _stages3_em_kernel(precision, s1_ref, s2_ref, s3_ref, in_ref, out_ref,
                        w1_ref, w2_ref):
-    w1_ref[:] = _dot(in_ref[:], s1_ref[:], precision)
-    w2_ref[:] = _dot(w1_ref[:], s2_ref[:], precision)
-    out_ref[:] = _dot(w2_ref[:], s3_ref[:], precision)
+    w1_ref[:] = _dot(in_ref[:], s1_ref[:], precision).astype(w1_ref.dtype)
+    w2_ref[:] = _dot(w1_ref[:], s2_ref[:], precision).astype(w2_ref.dtype)
+    out_ref[:] = _dot(w2_ref[:], s3_ref[:], precision).astype(out_ref.dtype)
 
 
 def qp1d_shared3d(in_em2, s1_em, s2_em, s3_em, *, epb, interpret=False,
