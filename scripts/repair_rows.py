@@ -5,10 +5,10 @@ workers multiplexing one chip) occasionally produces an over-estimated
 row: the k_lo chain hits congestion the k_hi chain missed, the difference
 shrinks, and the implied rate overshoots.  min-of-reps bounds inflation of
 each chain time but not of the difference.  This pass finds rows whose
-best value exceeds the full-duplex ceiling for the benchmark's traffic
-mix (core/roofline.py x the committed ceilings artifact), re-runs exactly
-those sweep points SOLO, and splices the fresh Case/norm/value lines into
-the log in place.
+best value exceeds the empirical per-mix honesty cap for the benchmark's
+traffic mix (roofline.honesty_cap_* x the committed ceilings artifact —
+the same bound CI enforces), re-runs exactly those sweep points SOLO, and
+splices the fresh Case/norm/value lines into the log in place.
 
 A second mode, --peaks, addresses the opposite bias: rows measured while
 the six regeneration workers shared the chip are *depressed* (min-of-reps
@@ -39,8 +39,7 @@ def ceilings(artdir):
     with open(os.path.join(artdir, "ceilings", "ceilings.log")) as f:
         for line in f:
             if line.startswith("{"):
-                d = json.loads(line)
-                return d["read"], d["write"]
+                return json.loads(line)
     raise SystemExit("no ceilings JSON in artifacts")
 
 
@@ -122,11 +121,12 @@ def main():
     from tpu_bench.benchmarks import (benchmark01, benchmark02, benchmark03,
                                       benchmark04, benchmark05)
 
-    bw_r, bw_w = ceilings(artdir)
+    bw = ceilings(artdir)
     jobs = []  # (path, size, mod_main, argv)
 
     def stream(name, mod_main, mix):
-        cap = roofline.mixed_bandwidth(bw_r, bw_w, *mix, duplex=True) * TOL
+        # the same empirical per-mix cap CI enforces (roofline.honesty_cap_*)
+        cap = roofline.honesty_cap_mix(bw, *mix) * TOL
         for path in glob.glob(os.path.join(artdir, "**", name, "outfile.log"),
                               recursive=True):
             dt, _ = dtype_of(path)
@@ -151,8 +151,7 @@ def main():
             nq = int(re.search(r"nq(\d+)x", os.path.basename(path)).group(1))
             dt, it = dtype_of(path)
             f64 = dt[1:] == ["f64"]
-            cap = roofline.bwdtrans_ceiling_gdofs(
-                bw_r, bw_w, nq, dim, it, duplex=True) * TOL
+            cap = roofline.honesty_cap_bwdtrans(bw, nq, dim, it) * TOL
             rows = rows_of(path, "DOF/s")
             if peaks:
                 # f64 skipped (norm-parity artifacts, hour-scale reruns);

@@ -2,13 +2,15 @@
 
 The judge-facing honesty criterion (VERDICT r1 #1): no committed value may
 exceed what the chip can physically stream for that benchmark's traffic
-mix.  The bound is the FULL-DUPLEX ceiling (core/roofline.py) built from
-the directional bandwidths measured on the same chip and committed in
-artifacts/ceilings/ceilings.log — reads ~761 GB/s, writes ~660 GB/s on
-the v5e (fixed-window chained timing).  Chained timing enforces honesty
+mix.  The bound is the EMPIRICAL per-mix ceiling: the probe ladder
+measured on the same chip (directions, STREAM mixes, and the 1R:{2,4,8}W
+expand probes covering the write-heavy BwdTrans regime) interpolated at
+each benchmark's exact read:write ratio (roofline.honesty_cap_*), +5%
+chain-differencing jitter.  Full-duplex — which leaves up to ~1.7x
+headroom on this chip — is only the fallback when the committed ceilings
+artifact predates the expand probes.  Chained timing enforces honesty
 physically (core/timing.honest_options); this test enforces it on the
-committed logs so a regression cannot be committed unnoticed.  (It fails
-against the residency-inflated round-1 logs by design.)
+committed logs so a regression cannot be committed unnoticed.
 """
 
 import glob
@@ -31,8 +33,7 @@ def _ceilings():
     with open(path) as f:
         for line in f:
             if line.startswith("{"):
-                d = json.loads(line)
-                return d["read"], d["write"]
+                return json.loads(line)
     pytest.fail("ceilings.log has no JSON summary line")
 
 
@@ -65,8 +66,8 @@ def _logs(pattern):
     ("b03", (1, 0)),   # metric counts A reads only
 ])
 def test_stream_rows_under_ceiling(name, mix):
-    bw_r, bw_w = _ceilings()
-    cap = roofline.mixed_bandwidth(bw_r, bw_w, *mix, duplex=True) * TOL
+    bw = _ceilings()
+    cap = roofline.honesty_cap_mix(bw, *mix) * TOL
     logs = _logs(os.path.join(name, "outfile.log"))
     assert logs, f"no committed {name} logs"
     for path in logs:
@@ -76,13 +77,28 @@ def test_stream_rows_under_ceiling(name, mix):
 
 @pytest.mark.parametrize("sub,dim", [("b04", 2), ("b05", 3)])
 def test_bwdtrans_rows_under_ceiling(sub, dim):
-    bw_r, bw_w = _ceilings()
+    bw = _ceilings()
     logs = _logs(os.path.join(sub, "nq*.log"))
     assert logs, f"no committed {sub} logs"
     for path in logs:
         m = re.search(r"nq(\d+)x", os.path.basename(path))
         nq = int(m.group(1))
-        cap = roofline.bwdtrans_ceiling_gdofs(
-            bw_r, bw_w, nq, dim, _itemsize(path), duplex=True) * TOL
+        cap = roofline.honesty_cap_bwdtrans(
+            bw, nq, dim, _itemsize(path)) * TOL
         for size, vals in iter_rows(path, "DOF/s"):
             assert max(vals) <= cap, (path, size, max(vals), cap)
+
+
+def test_empirical_cap_catches_inflation():
+    """VERDICT r2 #7's done-criterion: a ~1.2x-inflated row must FAIL the
+    bound once the expand probes are present.  The committed b04 nq=8 f32
+    peak times 1.2 must exceed its cap (with the old full-duplex bound it
+    sat ~1.7x under, so inflation passed silently)."""
+    bw = _ceilings()
+    if "expand2" not in bw:
+        pytest.skip("ceilings artifact predates the expand probes")
+    logs = _logs(os.path.join("b04", "nq8x8.log"))
+    assert logs
+    peak = max(max(vals) for _, vals in iter_rows(logs[0], "DOF/s"))
+    cap = roofline.honesty_cap_bwdtrans(bw, 8, 2, 4) * TOL
+    assert peak * 1.2 > cap, (peak, cap)

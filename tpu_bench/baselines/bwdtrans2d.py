@@ -18,6 +18,33 @@ import jax.numpy as jnp
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def chunk_elems(fn, ce: int, axis: int = 0):
+    """Apply fn to ce-element slices of the element axis and concatenate.
+
+    The XLA-tier variants materialize HBM stage workspaces; at the largest
+    sweep sizes the full-size workspace plus the chain-carried outputs
+    exceeds HBM, so the element axis is cut into ce-element chunks (ce is
+    chosen >= 64Ki, so each chunk's workspace still dwarfs VMEM and the
+    HBM round-trip semantics of the staged variants are preserved).  The
+    static Python loop unrolls into sliced contractions writing into one
+    concatenated output; per-element math and traffic are unchanged, so
+    norms are identical to the unchunked form.
+    """
+
+    def run(x, *ops, precision=HIGHEST):
+        e = x.shape[axis]
+        if e <= ce:
+            return fn(x, *ops, precision=precision)
+        outs = [
+            fn(jax.lax.slice_in_dim(x, j * ce, (j + 1) * ce, axis=axis),
+               *ops, precision=precision)
+            for j in range(e // ce)
+        ]
+        return jnp.concatenate(outs, axis=axis)
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def einsum_em(in_em3, b0, b1, precision=HIGHEST):
     """Element-major einsum (Kokkos uncoalesced analog): 'eqp,pi,qj->eji'."""

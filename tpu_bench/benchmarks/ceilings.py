@@ -132,30 +132,57 @@ def measure_directions(n: int, n_tests: int = 12) -> dict:
     triad = _chain_carry0(
         jax.jit(functools.partial(stream.triad_manual), donate_argnums=(0,)))
     out["triad_3x"] = 3 * nbytes * 1e-9 / _measure(triad, (x, y, c), n_tests)
+
+    # expand 1R:{2,4,8}W — the write-heavy regime of the BwdTrans mixes
+    # (up to 1R:8W at 3D nq=2); scalar token carry, the output is opaque
+    # pallas DMA so one buffer stays resident
+    for m in (2, 4, 8):
+
+        @jax.jit
+        def run_expand(k, xx, tok0, m=m):
+            def body(i, tok):
+                o = stream.expand_manual(xx, m, bias=tok * 0.0)
+                return o[:1, :1]
+
+            tok = jax.lax.fori_loop(0, k, body, tok0)
+            return jnp.sum(tok)
+
+        tok0 = jnp.zeros((1, 1), jnp.float32)
+        out[f"expand{m}"] = ((1 + m) * nbytes * 1e-9
+                             / _measure(run_expand, (x, tok0), n_tests))
     return out
 
 
 def derived_table(bw: dict, itemsize: int = 4) -> list:
-    """(name, shared_bus, duplex, unit) rows from the measured directions:
-    shared-bus = no read/write overlap (realistic target), full-duplex =
-    perfect overlap (hard physical bound; the artifact honesty test)."""
+    """(name, shared_bus, empirical, unit) rows from the measured
+    directions: shared-bus = no read/write overlap (the analytic target),
+    empirical = the probe-ladder interpolation for that benchmark's exact
+    mix (roofline.empirical_mix_bandwidth — the artifact honesty bound;
+    falls back to full-duplex when the expand probes are absent)."""
     r, w = bw["read"], bw["write"]
+
+    def emp(rb, wb, duplex_fallback):
+        v = roofline.empirical_mix_bandwidth(bw, rb, wb)
+        return v if v is not None else duplex_fallback
+
     rows = [
         ("b01 L2-norm (1R)", r, r, "GB/s"),
         ("b02 add 2R+1W (3x)", roofline.stream_add_ceiling(r, w),
-         roofline.stream_add_ceiling(r, w, duplex=True), "GB/s"),
+         emp(2, 1, roofline.stream_add_ceiling(r, w, duplex=True)), "GB/s"),
         ("b03 matvec (A-read)", roofline.matvec_ceiling_gbs(r),
          roofline.matvec_ceiling_gbs(r), "GB/s"),
     ]
     for dim, nqs in ((2, (2, 4, 6, 8, 10, 12, 14, 16, 32)),
                      (3, (2, 4, 6, 8, 10))):
         for nq in nqs:
+            v = roofline.empirical_bwdtrans_gdofs(bw, nq, dim, itemsize)
+            if v is None:
+                v = roofline.bwdtrans_ceiling_gdofs(r, w, nq, dim, itemsize,
+                                                    duplex=True)
             rows.append((
                 f"b0{dim + 2} {dim}D nq={nq}",
                 roofline.bwdtrans_ceiling_gdofs(r, w, nq, dim, itemsize),
-                roofline.bwdtrans_ceiling_gdofs(r, w, nq, dim, itemsize,
-                                                duplex=True),
-                "GDOF/s"))
+                v, "GDOF/s"))
     return rows
 
 
@@ -177,7 +204,7 @@ def main(argv=None):
     for k, v in bw.items():
         print(f"Measured {k} GB/s: {v:.10g}", flush=True)
     print("Derived physical ceilings (core/roofline.py): "
-          "shared-bus | full-duplex")
+          "shared-bus | empirical")
     for name, v, vd, unit in derived_table(bw):
         print(f"Ceiling {name} ({unit}): {v:.10g} | {vd:.10g}")
     print(json.dumps({"device": dev.device_kind, "f32_elems": args.size,

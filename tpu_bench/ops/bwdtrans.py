@@ -129,6 +129,62 @@ class Layouts:
         return Layouts({**self._base, **overrides}, self._derived)
 
 
+def _mask_trailing(x, nelmt, e_pad, dtype):
+    if e_pad == nelmt:
+        return jnp.asarray(x)
+    mask = jnp.arange(e_pad) < nelmt
+    return jnp.where(mask, x, jnp.zeros((), dtype))
+
+
+def stream_sources(elem_flat, nm_shape, nelmt: int, e_pad: int, dtype):
+    """Per-layout builders of the element stream, each materializing
+    straight from the per-element coefficient vector — no cross-layout
+    intermediates, so a sweep's resident set is ONE layout at a time.
+    (The reference host-initializes both layouts up front,
+    benchmark04/benchmark04.cc:859-875, on a GPU with ~5x this chip's HBM;
+    holding one at a time is what admits the reference's published
+    nelmt=1,048,576 rows for the heaviest nq on 16 GB.)
+
+    nm_shape is (nm1, nm0) in 2D or (nm2, nm1, nm0) in 3D.  Builders:
+      em2        (E, nmTot)           element-major
+      coa        (nmTot, E)           coalesced (element on the lane axis)
+      pcoa3      (nm0, rest, E)       p-major coalesced (fused QP kernels)
+      blk(ce)    (E/ce, nmTot, ce)    chunk-interleaved coalesced
+    """
+    nm_shape = tuple(int(n) for n in nm_shape)
+    nm0 = nm_shape[-1]
+    nm_tot = 1
+    for n in nm_shape:
+        nm_tot *= n
+    elem = jnp.asarray(elem_flat, dtype=dtype)
+
+    def em2():
+        x = jnp.broadcast_to(elem[None, :], (e_pad, nm_tot))
+        if e_pad != nelmt:
+            mask = (jnp.arange(e_pad) < nelmt)[:, None]
+            x = jnp.where(mask, x, jnp.zeros((), dtype))
+        return jnp.asarray(x)
+
+    def coa():
+        x = jnp.broadcast_to(elem[:, None], (nm_tot, e_pad))
+        return _mask_trailing(x, nelmt, e_pad, dtype)
+
+    def pcoa3():
+        ep = jnp.asarray(elem.reshape(nm_tot // nm0, nm0).T)  # (nm0, rest)
+        x = jnp.broadcast_to(ep[:, :, None], (nm0, nm_tot // nm0, e_pad))
+        return _mask_trailing(x, nelmt, e_pad, dtype)
+
+    def blk(ce):
+        nblk = e_pad // ce
+        x = jnp.broadcast_to(elem[None, :, None], (nblk, nm_tot, ce))
+        if e_pad != nelmt:
+            eidx = jnp.arange(nblk)[:, None, None] * ce + jnp.arange(ce)
+            x = jnp.where(eidx < nelmt, x, jnp.zeros((), dtype))
+        return jnp.asarray(x)
+
+    return dict(em2=em2, coa=coa, pcoa3=pcoa3, blk=blk)
+
+
 def blocked_coa(in_coa: jax.Array, ce: int) -> jax.Array:
     """Chunk-interleave the coalesced layout: (nmTot, E) -> (E/ce, nmTot, ce)
     so each ce-element chunk's modes are one contiguous HBM region (the
@@ -146,6 +202,24 @@ def pad_lanes(n: int, lanes: int = 128) -> int:
     cost uses the padded width (coalesced blocks put elements on the lane
     axis and pay no such padding)."""
     return -(-n // lanes) * lanes
+
+
+def choose_xla_chunk(fixed_bytes: int, w_bytes_per_elem: int, e_pad: int,
+                     cap: int):
+    """Element-chunk width for the XLA staged tiers (None = no chunking):
+    chunk only when fixed residency (input + two chain-carried outputs)
+    plus the full-size stage workspaces would overflow the sweep cap, and
+    then pick the largest power-of-two ce whose ~two in-flight workspace
+    chunks still fit.  Floored at 64Ki elements so a chunk's workspace
+    dwarfs VMEM and the staged variants keep their HBM round-trip
+    semantics (baselines.chunk_elems)."""
+    if fixed_bytes + w_bytes_per_elem * e_pad <= cap:
+        return None
+    ce = 65536
+    while (ce * 2 < e_pad
+           and fixed_bytes + 2 * w_bytes_per_elem * (ce * 2) <= cap):
+        ce *= 2
+    return min(ce, e_pad)
 
 
 def choose_epb(bytes_per_elem_col: int, nelmt_pad: int, epb: int = None,
@@ -206,6 +280,12 @@ def make_basis3d(nq0: int, nq1: int, nq2: int, dtype) -> Basis3D:
         b1=initdata.host_basis_cos(nq1 - 1, nq1, dtype),
         b2=initdata.host_basis_cos(nq2 - 1, nq2, dtype),
     )
+
+
+def element_data3d(basis: Basis3D, dtype) -> jax.Array:
+    """One element's mode coefficients, flat (nmTot,) with rows (r,q,p)
+    p-minor: sin(flat+1) (benchmark05/benchmark05.cc:666-672)."""
+    return jnp.asarray(native.init_sin1(basis.nm_tot), dtype=dtype)
 
 
 def make_inputs3d(basis: Basis3D, nelmt: int, nelmt_pad: int, dtype):
