@@ -15,8 +15,11 @@ Variant mapping:
   thrust::transform     -> XLA functional add
   CUDA scalar           -> Pallas in-place add, (rows, 128) tiles
   CUDA float4/double2   -> manual-DMA ring pipeline, 16 MB chunks
-                           (kernels/stream.py: hand transaction control,
-                           703 vs 681 GB/s for the automatic pipeline)
+                           (kernels/stream.py: hand transaction control;
+                           committed peak 690.7 GB/s, artifacts/b02 —
+                           the exp_b02g sweep read 703 under different
+                           conditions — vs ~680 for the automatic
+                           pipeline)
   CUDA functor kernel   -> Pallas generic map2 functor
 """
 

@@ -210,13 +210,18 @@ def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,
     data = prepare(nq0, nq1, nelmt, cfg)
     jax.block_until_ready(data["b0"])
 
+    # pallas_call outputs are opaque to XLA, so Pallas variants may carry
+    # only the probe scalar through the timing chain — one output buffer
+    # resident instead of two (timing.build_chain).  Applied only at sizes
+    # where the array carry would not fit (the top of the heaviest
+    # sweeps), so every smaller size keeps its cached chained executable.
+    basis = data["basis"]
+    tight = ((basis.nm_tot + 2 * basis.nq_tot + basis.nm1 * nq0)
+             * data["e_pad"] * cfg.itemsize > cfg.mem_cap_bytes)
     times, norms = [], []
     for label, fn, keys in variant_specs(data, cfg):
         args = tuple(data[k] for k in keys)  # lazy derived layouts
-        # pallas_call outputs are opaque to XLA, so those variants may
-        # carry only the probe scalar through the timing chain — one
-        # output buffer resident instead of two (timing.build_chain)
-        carry = "scalar" if label.startswith("Pallas") else "array"
+        carry = "scalar" if tight and label.startswith("Pallas") else "array"
         t, norm = measure_checked(label, fn, args, cfg, reporter,
                                   chain_fn=eps_chain(fn, eps_arg=1),
                                   carry=carry)

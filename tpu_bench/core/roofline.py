@@ -1,9 +1,9 @@
 """Physical bandwidth ceilings from measured directional bandwidths.
 
-HBM read and write directions saturate at different rates (v5e measured:
-823 GB/s read-only — the full nominal 819, within differencing jitter —
-but only ~638 GB/s write-only), so a single "HBM peak" number over-states
-what any mixed-traffic kernel can do.  Two bounds bracket the achievable
+HBM read and write directions saturate at different rates (committed v5e
+ceilings artifact: 761.5 GB/s read-only, 660.0 GB/s write-only —
+artifacts/ceilings/ceilings.log), so a single "HBM peak" number
+over-states what any mixed-traffic kernel can do.  Two bounds bracket the achievable
 combined rate for a kernel moving R read and W written bytes:
 
     shared-bus:   t >= R / bw_read + W / bw_write      (no overlap)

@@ -9,11 +9,11 @@ block pipeline would pick (16 MB vs 2 MB), the elementwise compute done in
 the first operand's slot, and the writeback issued from that same slot.
 
 Measured on v5e at 256 MB/buffer (f32, chained HBM-honest fixed-window
-timing): chunk 16 MB x depth 3 sustains 691 GB/s of STREAM-add 3x
-counting vs ~680 GB/s for the best automatic Pallas block pipeline —
-84% of the 819 GB/s nominal HBM and ~100% of the machine's measured
-STREAM-add probe (686 GB/s; the write direction tops out at 660 GB/s,
-see benchmarks/ceilings.py).
+timing): chunk 16 MB x depth 3 sustains a committed 690.7 GB/s of
+STREAM-add 3x counting (artifacts/b02) vs ~680 GB/s for the best
+automatic Pallas block pipeline — 84% of the 819 GB/s nominal HBM and
+~100% of the machine's measured STREAM-add probe (686 GB/s; the write
+direction tops out at 660 GB/s, see benchmarks/ceilings.py).
 
 Also hosts the direction-ceiling probes (fill = 1W, copy = 1R+1W) used by
 benchmarks/ceilings.py to measure what the chip can actually do per
