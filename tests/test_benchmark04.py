@@ -23,6 +23,22 @@ def test_variants_match_oracle(nq, cfg64):
             np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
 
 
+def test_grouped_mxu_tier(cfg64):
+    """nq=32 swaps the QP/Shared tier for the G-grouped block-diagonal
+    MXU kernel (qp_mxu_grouped, g=2, nm0=31 zero-padded to 32); all 11
+    variants must still match the oracle."""
+    nelmt = 128
+    data = b04.prepare(32, 32, nelmt, cfg64)
+    assert "s1g" in data, "grouped tier should be active at nq=32"
+    ref_norm = float(np.linalg.norm(bwdtrans.reference2d(data["basis"],
+                                                         nelmt)))
+    for label, fn, args in b04.build_variants(data, cfg64):
+        assert l2norm(fn(*args)) == pytest.approx(ref_norm,
+                                                  rel=1e-10), label
+    # sub-threshold orders keep the v-first hybrid
+    assert "s1g" not in b04.prepare(16, 16, 128, cfg64)
+
+
 def test_kron_coalesced_flat_layout(cfg64):
     """The flat (nmTot, E) kron kernel retained alongside the blocked
     Coales tier (kernels/bwdtrans2d.kron_blocked) for layout comparison."""

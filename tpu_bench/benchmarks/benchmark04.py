@@ -37,7 +37,7 @@ from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
 from tpu_bench.kernels import bwdtrans2d as pl_bt
-from tpu_bench.kernels import stream
+from tpu_bench.kernels import stream  # VPU-kron ring (low-order Coales tier)
 from tpu_bench.ops import bwdtrans, initdata
 
 
@@ -77,16 +77,25 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em")),
-        # nm_tot == 1 (nq=2): the contraction is a scalar multiply, so the
-        # coalesced tier is the 1R:nqW manual scale-kron DMA ring instead
-        # of a Mosaic-pipelined GEMM (stream.kron_scale_ring)
-        ("Pallas(Coales)", _pl_noepb(stream.kron_scale_ring, cfg),
-         ("in_coa", "c_coa"))
-        if data["basis"].nm_tot == 1 else
+        # low order (nq<=4 2D, nq=2 3D): the dense kron is a streaming
+        # expansion — VPU-FMA manual DMA ring instead of a Mosaic-
+        # pipelined GEMM (stream.kron_vpu_ring)
+        ("Pallas(Coales)", _pl_noepb(stream.kron_vpu_ring, cfg),
+         ("in_blk_ring", "c_coa"))
+        if data["basis"].nm_tot * data["basis"].nq_tot <= stream.VPU_RING_MAX
+        else
         ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
          ("in_blk", "c_coa")),
         ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb_qp),
          ("in_pcoa3", "b0", "b1t")),
+        # high order: G-grouped block-diagonal MXU form (see prepare)
+        ("Pallas(QP/Shared)",
+         jax.jit(functools.partial(
+             pl_bt.qp_mxu_grouped, nq0=data["basis"].nq0,
+             nq1=data["basis"].nq1, g=data["g_grp"], epb=data["epb_grp"],
+             interpret=cfg.interpret, precision=cfg.precision)),
+         ("in_g3", "s1g", "s2g"))
+        if "s1g" in data else
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb_qp),
          ("in_pcoa3", "b0", "b1t")),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb_1d),
@@ -166,6 +175,9 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             # chunk-interleaved coalesced layout (contiguous per-block HBM
             # chunks); chunk width = the kron tier's tuned epb
             in_blk=lambda: src["blk"](data["epb_kron"]),
+            # wide-chunk blocked layout for the low-order VPU-kron ring
+            in_blk_ring=lambda: src["blk"](stream.ring_chunk_elems(
+                basis.nm_tot, basis.nq_tot, e_pad, cfg.itemsize)),
         ),
     )
     data["epb_qp"] = epb
@@ -180,6 +192,20 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     data["xla_ce"] = bwdtrans.choose_xla_chunk(
         (nm_tot + 2 * nq_tot) * e_pad * it, w_cols * it, e_pad,
         cfg.mem_cap_bytes)
+    # nq=32-class QP/Shared tier: G-grouped block-diagonal MXU kernel
+    # (qp_mxu_grouped).  Only at nq_tot >= 1024: measured at nq=16/14 the
+    # v-first hybrid still wins (64.5/63.4 vs 47.8/40.0 GDOF/s,
+    # docs/experiments/exp_nq32b.py)
+    g = bwdtrans.grouped_g(nq0, nq1)
+    if g >= 2 and nq_tot >= 1024:
+        s1g, s2g = bwdtrans.grouped_operators2d(basis, g)
+        data["s1g"], data["s2g"], data["g_grp"] = s1g, s2g, g
+        ngrp = -(-nm0 // g)
+        cols = ngrp * g * (nm1 + nq1) + nq_tot
+        data["epb_grp"] = bwdtrans.choose_epb(
+            it * cols, e_pad, cfg.epb,
+            max(budget - (s1g.size + s2g.size) * it, 1 << 20))
+        data.add_derived("in_g3", lambda: src["grouped"](g))
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 

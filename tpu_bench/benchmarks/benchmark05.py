@@ -71,11 +71,12 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa3")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em3")),
-        # nm_tot == 1 (nq=2^3): 1R:8W manual scale-kron DMA ring — the
+        # low order (nq=2^3): 1R:8W VPU-kron manual DMA ring — the
         # expand-probe regime, no MXU pass (see benchmark04.variant_specs)
-        ("Pallas(Coales)", _pl_noepb(stream.kron_scale_ring, cfg),
-         ("in_coa", "c_coa3"))
-        if data["basis"].nm_tot == 1 else
+        ("Pallas(Coales)", _pl_noepb(stream.kron_vpu_ring, cfg),
+         ("in_blk_ring", "c_coa3"))
+        if data["basis"].nm_tot * data["basis"].nq_tot <= stream.VPU_RING_MAX
+        else
         ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
          ("in_blk", "c_coa3")),
         ("Pallas(QP)", _pl(pl_bt.qp_global3d, cfg, data["epb_qp"]),
@@ -163,6 +164,9 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
             # chunk-interleaved coalesced layout (contiguous per-block HBM
             # chunks); chunk width = the kron tier's tuned epb
             in_blk=lambda: src["blk"](data["epb_kron"]),
+            # wide-chunk blocked layout for the low-order VPU-kron ring
+            in_blk_ring=lambda: src["blk"](stream.ring_chunk_elems(
+                basis.nm_tot, basis.nq_tot, e_pad, cfg.itemsize)),
         ),
     )
     # XLA-tier element chunking (see benchmark04.prepare): bound the staged

@@ -226,6 +226,68 @@ def qp_global(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
 # ---- element-major layout: (E, nmTot) -> (E, nqTot) ---------------------
 
 
+def _mxu_grouped_kernel(ngrp, g, nq1, nq0, nm0p, precision, s1_ref, s2_ref,
+                        in_ref, out_ref, w_ref):
+    # stage 1: one block-diagonal GEMM per p-mode group — g directions'
+    # q-contractions fused into a single (g*nq1, g*nm1) MXU operator
+    for gi in range(ngrp):
+        wg = _dot(s1_ref[:], in_ref[gi], precision)       # (g*nq1, epb)
+        for k in range(g):
+            w_ref[:, gi * g + k, :] = (
+                wg[k * nq1:(k + 1) * nq1].astype(w_ref.dtype))
+    # stage 2: g output j-planes per GEMM — the (j, p) workspace slab is
+    # contiguous in VMEM, so the (p, q) -> (q, p) relayout costs strided
+    # VMEM writes in stage 1 and nothing here
+    for h in range(nq1 // g):
+        slab = w_ref[h * g:(h + 1) * g].reshape(g * nm0p, w_ref.shape[-1])
+        og = _dot(s2_ref[:], slab, precision)             # (g*nq0, epb)
+        for k in range(g):
+            out_ref[h * g + k] = (
+                og[k * nq0:(k + 1) * nq0].astype(out_ref.dtype))
+
+
+def qp_mxu_grouped(in_g3, s1g, s2g, *, nq0, nq1, g, epb, interpret=False,
+                   precision=HIGHEST):
+    """High-order fused sum-factorization as two G-grouped block-diagonal
+    MXU GEMMs (the round-3 nq=32 wall breaker, docs/experiments/
+    exp_nq32.py): naive per-p-mode stage dots are (nq, nm)-shaped — 6%
+    MXU tile utilization at nq=32 — while grouping g modes per GEMM gives
+    (g*nq, g*nm) operators at ~97% utilization.  Measured at nq=32,
+    nelmt=262144 (v5e, HBM-honest chained): 55.6 GDOF/s HIGHEST vs 40.1
+    for the v-first hybrid qp_shared and 41.7 for the best committed
+    round-2 column; at DEFAULT precision it is bandwidth-bound at ~81 —
+    98% of the measured copy-through rate for this exact traffic.
+
+    in_g3 is the p-grouped coalesced layout (ngrp, g*nm1, E) with p
+    zero-padded to nm0p = ngrp*g (ops.bwdtrans.stream_sources 'grouped');
+    s1g = blockdiag(B1^T, g), s2g = blockdiag(B0^T padded, g).  Requires
+    g | nq1.  Reference analog: the all-shared QP quad kernel,
+    benchmark04/benchmark04.cc:206-300."""
+    ngrp, gnm1, e = in_g3.shape
+    nm0p = ngrp * g
+    grid = (e // epb,)
+    out = pl.pallas_call(
+        functools.partial(_mxu_grouped_kernel, ngrp, g, nq1, nq0, nm0p,
+                          precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(s1g.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s2g.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngrp, gnm1, epb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq1, nq0, epb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq1, nq0, e), in_g3.dtype),
+        scratch_shapes=[pltpu.VMEM((nq1, nm0p, epb), in_g3.dtype)],
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(s1g, s2g, in_g3)
+    return out
+
+
 def _kron_em_kernel(precision, c_ref, in_ref, out_ref):
     out_ref[:] = _dot(in_ref[:], c_ref[:], precision).astype(out_ref.dtype)
 

@@ -96,6 +96,39 @@ def operators2d(basis: Basis2D):
     return c_em, s1_em, s2_em
 
 
+def grouped_g(nq0: int, nq1: int) -> int:
+    """Group width for the block-diagonal MXU kernel: the smallest
+    divisor of nq1 >= 2 with g*nq1 <= 128 (one MXU tile of output rows
+    per GEMM), or 0 when none exists.  Measured at nq=32: g=2 beats g=4
+    (55.6 vs 53.0 GDOF/s HIGHEST) — smaller groups mean smaller operand
+    tiles re-read per GEMM (docs/experiments/exp_nq32.py)."""
+    for g in range(2, nq1):
+        if nq1 % g == 0 and g * nq1 <= 128:
+            return g
+    return 0
+
+
+def grouped_operators2d(basis: Basis2D, g: int):
+    """(s1g, s2g) block-diagonal operators for qp_mxu_grouped:
+    s1g = blockdiag(B1^T, g) (g*nq1, g*nm1); s2g = blockdiag(B0^T padded
+    to nm0p columns, g) (g*nq0, g*nm0p)."""
+    b0 = np.asarray(basis.b0)
+    b1t = np.asarray(basis.b1).T
+    ngrp = -(-basis.nm0 // g)
+    nm0p = ngrp * g
+    b0t_p = np.zeros((basis.nq0, nm0p), b0.dtype)
+    b0t_p[:, :basis.nm0] = b0.T
+
+    def blockdiag(m):
+        r, c = m.shape
+        out = np.zeros((g * r, g * c), m.dtype)
+        for k in range(g):
+            out[k * r:(k + 1) * r, k * c:(k + 1) * c] = m
+        return jnp.asarray(out)
+
+    return blockdiag(b1t), blockdiag(b0t_p)
+
+
 class Layouts:
     """Operand mapping with lazy derived layouts.
 
@@ -120,6 +153,9 @@ class Layouts:
 
     def __setitem__(self, key, value):
         self._base[key] = value
+
+    def add_derived(self, key, fn):
+        self._derived[key] = fn
 
     def __contains__(self, key):
         return key in self._base or key in self._derived
@@ -182,7 +218,21 @@ def stream_sources(elem_flat, nm_shape, nelmt: int, e_pad: int, dtype):
             x = jnp.where(eidx < nelmt, x, jnp.zeros((), dtype))
         return jnp.asarray(x)
 
-    return dict(em2=em2, coa=coa, pcoa3=pcoa3, blk=blk)
+    def grouped(g):
+        # p-grouped coalesced layout for the block-diagonal MXU kernel
+        # (kernels.bwdtrans2d.qp_mxu_grouped): group gi's row block k
+        # holds the rest-modes of p = gi*g + k, zero rows past nm0
+        rest = nm_tot // nm0
+        ngrp = -(-nm0 // g)
+        ep = np.zeros((ngrp, g * rest), np.asarray(elem).dtype)
+        em = np.asarray(elem).reshape(rest, nm0)
+        for p in range(nm0):
+            ep[p // g, (p % g) * rest:(p % g + 1) * rest] = em[:, p]
+        x = jnp.broadcast_to(jnp.asarray(ep, dtype)[:, :, None],
+                             (ngrp, g * rest, e_pad))
+        return _mask_trailing(x, nelmt, e_pad, dtype)
+
+    return dict(em2=em2, coa=coa, pcoa3=pcoa3, blk=blk, grouped=grouped)
 
 
 def blocked_coa(in_coa: jax.Array, ce: int) -> jax.Array:
