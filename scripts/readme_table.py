@@ -23,9 +23,11 @@ REF = {
     "b01": "1476 GB/s (Thrust)",
     "b02": "1378 GB/s",
     "b03": "1458 GB/s (CUDA vl)",
+    ("b04", 2): "27.7 GDOF/s (Cuda Coales)",
     ("b04", 4): "44.5 GDOF/s (Cuda Coales)",
     ("b04", 8): "42.7 GDOF/s (Cuda QP/Shared)",
     ("b04", 32): "37.3 GDOF/s (cuBLAS)",
+    ("b05", 2): "18.5 GDOF/s (Cuda Coales)",
     ("b05", 4): "28.6 GDOF/s (Cuda QP/Shared)",
     ("b05", 8): "28.9 GDOF/s (Cuda QP/Shared)",
     ("b05", 10): "28.5 GDOF/s (Cuda QP/Shared)",
@@ -103,13 +105,13 @@ def build_table(artdir):
         REF["b02"], cap=roofline.stream_add_ceiling(r, w) if bw else None)
     row("b03 dense matvec", f"{artdir}/b03/outfile.log", "GB/s", REF["b03"],
         cap=r)
-    for nq in (4, 8, 32):
+    for nq in (2, 4, 8, 32):
         row(f"b04 2D BwdTrans nq={nq}²",
             f"{artdir}/b04/nq{nq}x{nq}.log", "GDOF/s", REF[("b04", nq)],
             cap=(roofline.bwdtrans_ceiling_gdofs(r, w, nq, 2, 4)
                  if bw else None),
             at=" elmts")
-    for nq in (4, 8, 10):
+    for nq in (2, 4, 8, 10):
         row(f"b05 3D BwdTrans nq={nq}³",
             f"{artdir}/b05/nq{nq}x{nq}x{nq}.log", "GDOF/s",
             REF[("b05", nq)],

@@ -37,7 +37,6 @@ from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
 from tpu_bench.kernels import bwdtrans2d as pl_bt
-from tpu_bench.kernels import stream  # VPU-kron ring (low-order Coales tier)
 from tpu_bench.ops import bwdtrans, initdata
 
 
@@ -55,6 +54,13 @@ def _xla(fn, cfg, ce=None, axis=0):
     if ce:
         fn = xla_bt.chunk_elems(fn, ce, axis)
     return functools.partial(fn, precision=cfg.precision)
+
+
+def _blk4(src, nm_tot, e_pad):
+    """Wide-chunk blocked element stream, 4D (nblk, nmTot, ce/128, 128)
+    for the low-order VPU kron tier."""
+    ce = bwdtrans.wide_chunk_elems(e_pad)
+    return src["blk"](ce).reshape(e_pad // ce, nm_tot, ce // 128, 128)
 
 
 def variant_specs(data, cfg):
@@ -77,12 +83,12 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em")),
-        # low order (nq<=4 2D, nq=2 3D): the dense kron is a streaming
-        # expansion — VPU-FMA manual DMA ring instead of a Mosaic-
-        # pipelined GEMM (stream.kron_vpu_ring)
-        ("Pallas(Coales)", _pl_noepb(stream.kron_vpu_ring, cfg),
-         ("in_blk_ring", "c_coa"))
-        if data["basis"].nm_tot * data["basis"].nq_tot <= stream.VPU_RING_MAX
+        # low order (nq<=4 2D): the dense kron is a streaming expansion —
+        # unrolled VPU FMAs instead of a padded MXU GEMM
+        # (pl_bt.kron_vpu_blocked)
+        ("Pallas(Coales)", _pl_noepb(pl_bt.kron_vpu_blocked, cfg),
+         ("in_blk_wide", "c_coa"))
+        if data["basis"].nm_tot * data["basis"].nq_tot <= pl_bt.VPU_KRON_MAX
         else
         ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
          ("in_blk", "c_coa")),
@@ -175,9 +181,8 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             # chunk-interleaved coalesced layout (contiguous per-block HBM
             # chunks); chunk width = the kron tier's tuned epb
             in_blk=lambda: src["blk"](data["epb_kron"]),
-            # wide-chunk blocked layout for the low-order VPU-kron ring
-            in_blk_ring=lambda: src["blk"](stream.ring_chunk_elems(
-                basis.nm_tot, basis.nq_tot, e_pad, cfg.itemsize)),
+            # wide-chunk blocked layout (4D) for the low-order VPU kron
+            in_blk_wide=lambda: _blk4(src, basis.nm_tot, e_pad),
         ),
     )
     data["epb_qp"] = epb

@@ -26,8 +26,9 @@ from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
+from tpu_bench.benchmarks import benchmark04 as b04_mod
 from tpu_bench.kernels import bwdtrans3d as pl_bt
-from tpu_bench.kernels import stream
+from tpu_bench.kernels.bwdtrans2d import VPU_KRON_MAX, kron_vpu_blocked
 from tpu_bench.ops import bwdtrans, initdata
 
 
@@ -71,11 +72,11 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa3")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em3")),
-        # low order (nq=2^3): 1R:8W VPU-kron manual DMA ring — the
-        # expand-probe regime, no MXU pass (see benchmark04.variant_specs)
-        ("Pallas(Coales)", _pl_noepb(stream.kron_vpu_ring, cfg),
-         ("in_blk_ring", "c_coa3"))
-        if data["basis"].nm_tot * data["basis"].nq_tot <= stream.VPU_RING_MAX
+        # low order (nq=2^3): 1R:8W streaming expansion — unrolled VPU
+        # FMAs instead of a padded MXU GEMM (see benchmark04.variant_specs)
+        ("Pallas(Coales)", _pl_noepb(kron_vpu_blocked, cfg),
+         ("in_blk_wide", "c_coa3"))
+        if data["basis"].nm_tot * data["basis"].nq_tot <= VPU_KRON_MAX
         else
         ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
          ("in_blk", "c_coa3")),
@@ -164,9 +165,8 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
             # chunk-interleaved coalesced layout (contiguous per-block HBM
             # chunks); chunk width = the kron tier's tuned epb
             in_blk=lambda: src["blk"](data["epb_kron"]),
-            # wide-chunk blocked layout for the low-order VPU-kron ring
-            in_blk_ring=lambda: src["blk"](stream.ring_chunk_elems(
-                basis.nm_tot, basis.nq_tot, e_pad, cfg.itemsize)),
+            # wide-chunk blocked layout (4D) for the low-order VPU kron
+            in_blk_wide=lambda: b04_mod._blk4(src, basis.nm_tot, e_pad),
         ),
     )
     # XLA-tier element chunking (see benchmark04.prepare): bound the staged

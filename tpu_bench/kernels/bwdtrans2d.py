@@ -120,6 +120,58 @@ def kron_blocked(in_blk, c_coa, *, interpret=False, precision=HIGHEST):
     return out
 
 
+# Max nmTot*nqTot for the VPU-kron blocked tier (unrolled FMA statements
+# per block): covers nq=2 (any dim: 4, 8) and nq=4 2D (9*16 = 144) — the
+# low-order regime where a GEMM's MXU pass is nearly all tile padding and
+# the op is a streaming expansion.
+VPU_KRON_MAX = 160
+
+
+def _kron_vpu_kernel(nq, nm, c_ref, in_ref, out_ref):
+    for t in range(nq):
+        acc = in_ref[0, 0] * c_ref[t, 0]
+        for p in range(1, nm):
+            acc += in_ref[0, p] * c_ref[t, p]
+        out_ref[0, t] = acc.astype(out_ref.dtype)
+
+
+def kron_vpu_blocked(in_blk4, c_coa, *, interpret=False, precision=None):
+    """Low-order dense kron as unrolled VPU FMAs over wide blocked chunks
+    (Mosaic auto-pipelined) — no MXU pass: a (nqTot, nmTot) GEMM at
+    nq<=4 is >90% tile padding and pays the 6-pass f32 emulation for a
+    contraction that is really a streaming expansion.  Measured at b05
+    nq=2^3 nelmt=1M (v5e, HBM-honest): 17.5 GDOF/s vs 11.7 for the MXU
+    kron_blocked — on par with the best XLA tier and at 96% of the
+    chip's measured 1R:8W mix ceiling (18.26, artifacts/ceilings).  A
+    manual-DMA slot-ring version measured ~6.3 regardless of chunk
+    geometry (docs/experiments/exp_ring.py) — Mosaic's automatic block
+    pipeline wins this one, so this kernel uses it.
+
+    in_blk4 is the wide-chunk blocked layout (nblk, nmTot, ce/128, 128);
+    output stays blocked — norms are layout-invariant.  precision is
+    accepted for harness uniformity; there is no MXU pass."""
+    del precision
+    nblk, nm, cr, lanes = in_blk4.shape
+    nq = c_coa.shape[0]
+    c_coa = c_coa.astype(common.acc_dtype(in_blk4.dtype))  # SMEM is 32-bit
+    out = pl.pallas_call(
+        functools.partial(_kron_vpu_kernel, nq, nm),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nm, cr, lanes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, cr, lanes), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, nq, cr, lanes),
+                                       in_blk4.dtype),
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(c_coa, in_blk4)
+    return out
+
+
 def _qp_fused_kernel(nm0, nq0, precision, b1t_ref, b0_ref, in_ref, out_ref):
     odt = out_ref.dtype
     for p in range(nm0):

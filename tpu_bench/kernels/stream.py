@@ -318,104 +318,6 @@ def expand_manual(x, m: int, bias=None, *, chunk_bytes: int = CHUNK_BYTES,
     )(bias, x2)
 
 
-# Max nmTot*nqTot for the VPU-kron ring (unrolled FMA statements per
-# chunk): covers nq=2 (any dim: 4, 8) and nq=4 2D (9*16 = 144) — the
-# low-order regime where a GEMM's MXU pass is all padding and the op is a
-# pure streaming expansion (benchmark04/nq4x4.log: the reference's only
-# layout-bound wins are these coalesced low orders).
-VPU_RING_MAX = 160
-
-
-def ring_chunk_elems(nm: int, nq: int, e_pad: int, itemsize: int,
-                     depth: int = DEPTH,
-                     budget: int = 96 * 1024 * 1024) -> int:
-    """Largest power-of-two elements-per-chunk dividing e_pad whose
-    depth-deep in+out slot rings fit the VMEM budget (capped at 128Ki
-    elements; chunks this wide amortize ring-step overhead)."""
-    ce = 128
-    while (ce * 2 <= min(e_pad, 131072) and e_pad % (ce * 2) == 0
-           and depth * (nm + nq) * itemsize * (ce * 2) <= budget):
-        ce *= 2
-    return ce
-
-
-def _kron_vpu_kernel(depth, nq, nm, c_ref, x_hbm, out_hbm):
-    """VPU-kron ring body: per chunk j, y[t] = sum_p c[t,p] * x[p] as
-    unrolled (cr, 128)-tile FMAs, one contiguous write per chunk."""
-    nblk = x_hbm.shape[0]
-
-    def body(xs, ys, sx, sw):
-        def rd(slot, j):
-            return pltpu.make_async_copy(x_hbm.at[j], xs.at[slot],
-                                         sx.at[slot])
-
-        def wr(slot, j):
-            return pltpu.make_async_copy(ys.at[slot], out_hbm.at[j],
-                                         sw.at[slot])
-
-        for j in range(min(depth, nblk)):
-            rd(j, j).start()
-
-        def loop(j, _):
-            slot = j % depth
-            rd(slot, j).wait()
-            for t in range(nq):
-                acc = xs[slot, 0] * c_ref[t, 0]
-                for p in range(1, nm):
-                    acc += xs[slot, p] * c_ref[t, p]
-                ys[slot, t] = acc
-            wr(slot, j).start()
-
-            @pl.when(j + depth < nblk)
-            def _():
-                wr(slot, j).wait()  # slot reused: the writeback must land
-                rd(slot, j + depth).start()
-
-            return _
-
-        jax.lax.fori_loop(0, nblk, loop, None)
-        for j in range(max(nblk - depth, 0), nblk):
-            wr(j % depth, j).wait()
-
-    pl.run_scoped(body,
-                  pltpu.VMEM((depth, nm) + x_hbm.shape[2:], x_hbm.dtype),
-                  pltpu.VMEM((depth, nq) + x_hbm.shape[2:], x_hbm.dtype),
-                  pltpu.SemaphoreType.DMA((depth,)),
-                  pltpu.SemaphoreType.DMA((depth,)))
-
-
-def kron_vpu_ring(in_blk, c_coa, *, depth: int = DEPTH,
-                  interpret: bool = False, precision=None):
-    """Low-order BwdTrans as a manual-DMA streaming expansion: the dense
-    kron contraction done as nmTot*nqTot unrolled VPU FMAs inside a slot
-    ring — no MXU pass (a (nqTot, nmTot) GEMM at nq<=4 is >90% tile
-    padding), so the op runs at the chip's measured write-heavy DMA mix
-    rate (the expand-probe regime, benchmarks/ceilings.py) instead of the
-    Mosaic-pipelined GEMM's fraction of it.  This is the regime of the
-    reference's only winning cell (benchmark05/nq2x2x2.log: Cuda Coales
-    18.45 GDOF/s = a 1R:8W expansion).
-
-    in_blk is the chunk-interleaved blocked layout (nblk, nmTot, ce) with
-    ce a multiple of 128 (ring_chunk_elems); output stays blocked
-    (nblk, nqTot, ce) like kron_blocked — norms are layout-invariant.
-    precision is accepted for harness uniformity; there is no MXU pass."""
-    del precision
-    nblk, nm, ce = in_blk.shape
-    nq = c_coa.shape[0]
-    cr = ce // common.LANES
-    x4 = in_blk.reshape(nblk, nm, cr, common.LANES)
-    ring = (nm + nq) * depth * cr * common.LANES * in_blk.dtype.itemsize
-    out = pl.pallas_call(
-        functools.partial(_kron_vpu_kernel, depth, nq, nm),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nblk, nq, cr, common.LANES),
-                                       in_blk.dtype),
-        interpret=interpret,
-        **_vmem_params(ring, interpret),
-    )(c_coa, x4)
-    return out.reshape(nblk, nq, ce)
 
 
 def _read_manual_kernel(rows, cr, depth, bias_ref, x_hbm, tok_ref):

@@ -254,6 +254,16 @@ def pad_lanes(n: int, lanes: int = 128) -> int:
     return -(-n // lanes) * lanes
 
 
+def wide_chunk_elems(e_pad: int, cap: int = 262144) -> int:
+    """Largest power-of-two elements-per-chunk dividing e_pad, capped —
+    the blocked-chunk width for the low-order VPU kron tier (measured
+    best at 256Ki on v5e, docs/experiments/exp_ring.py)."""
+    ce = 128
+    while ce * 2 <= min(e_pad, cap) and e_pad % (ce * 2) == 0:
+        ce *= 2
+    return ce
+
+
 def choose_xla_chunk(fixed_bytes: int, w_bytes_per_elem: int, e_pad: int,
                      cap: int):
     """Element-chunk width for the XLA staged tiers (None = no chunking):
