@@ -39,6 +39,20 @@ def test_grouped_mxu_tier(cfg64):
     assert "s1g" not in b04.prepare(16, 16, 128, cfg64)
 
 
+def test_qp_w_tier(cfg64):
+    """100 <= nqTot < 1024 swaps the QP/Shared tier for qp_w (stage-1
+    upfront, vreg-accumulated stage-2, sublane-padded w planes); nq=11
+    exercises the nq1p=16 zero-row padding path."""
+    nelmt = 128
+    data = b04.prepare(11, 11, nelmt, cfg64)
+    assert "s1g" not in data
+    ref_norm = float(
+        np.linalg.norm(bwdtrans.reference2d(data["basis"], nelmt)))
+    for label, fn, args in b04.build_variants(data, cfg64):
+        assert l2norm(fn(*args)) == pytest.approx(ref_norm,
+                                                  rel=1e-10), label
+
+
 def test_kron_coalesced_flat_layout(cfg64):
     """The flat (nmTot, E) kron kernel retained alongside the blocked
     Coales tier (kernels/bwdtrans2d.kron_blocked) for layout comparison."""

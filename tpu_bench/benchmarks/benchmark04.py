@@ -102,6 +102,14 @@ def variant_specs(data, cfg):
              interpret=cfg.interpret, precision=cfg.precision)),
          ("in_g3", "s1g", "s2g"))
         if "s1g" in data else
+        # mid-order (100 <= nqTot < 1024): stage-1-upfront + vreg stage-2
+        # (qp_w) — fixes the nq=14/16 VMEM-RMW stall, exp_nq1416d.py
+        ("Pallas(QP/Shared)",
+         jax.jit(functools.partial(
+             pl_bt.qp_w, nq1=data["basis"].nq1, epb=epb_qp,
+             interpret=cfg.interpret, precision=cfg.precision)),
+         ("in_pcoa3", "b0", "b1tp"))
+        if data["basis"].nq_tot >= 100 else
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared, cfg, epb_qp),
          ("in_pcoa3", "b0", "b1t")),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global, cfg, epb_1d),
@@ -162,6 +170,8 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             b1=basis.b1,
             b0t=jnp.asarray(basis.b0.T),
             b1t=jnp.asarray(basis.b1.T),
+            # B1^T sublane-padded to ceil8(nq1) zero rows (qp_w tier)
+            b1tp=bwdtrans.pad_rows(jnp.asarray(basis.b1.T), 8),
             c_em=c_em,
             c_coa=jnp.asarray(c_em.T),
             s1_em=s1_em,
@@ -222,11 +232,20 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
                         data["c_coa"])),
             cfg, e_pad, default=epb_kron)
         in_pcoa3 = data["in_pcoa3"]
-        data["epb_qp"] = at.autotune_epb(
-            "b04/qp", sig,
-            lambda e: (_pl(pl_bt.qp_shared, cfg, e),
-                       (in_pcoa3, data["b0"], data["b1t"])),
-            cfg, e_pad, default=epb)
+        if nq_tot >= 100:
+            data["epb_qp"] = at.autotune_epb(
+                "b04/qpw", sig,
+                lambda e: (jax.jit(functools.partial(
+                    pl_bt.qp_w, nq1=basis.nq1, epb=e,
+                    interpret=cfg.interpret, precision=cfg.precision)),
+                    (in_pcoa3, data["b0"], data["b1tp"])),
+                cfg, e_pad, default=epb)
+        else:
+            data["epb_qp"] = at.autotune_epb(
+                "b04/qp", sig,
+                lambda e: (_pl(pl_bt.qp_shared, cfg, e),
+                           (in_pcoa3, data["b0"], data["b1t"])),
+                cfg, e_pad, default=epb)
         del in_pcoa3
         data["epb_1d"] = at.autotune_epb(
             "b04/1d", sig,

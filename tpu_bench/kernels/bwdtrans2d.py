@@ -219,6 +219,70 @@ def qp_shared(in_pcoa3, b0, b1t, *, epb, interpret=False, precision=HIGHEST):
     return out
 
 
+def _qp_w_kernel(nm0, nq0, nq1, precision, b1t_ref, b0_ref, in_ref, out_ref,
+                 w_ref):
+    odt = out_ref.dtype
+    # 1. all stage-1 dots upfront into the VMEM scratch: a dependency-free
+    #    MXU queue the stage-2 loop below never has to wait on twice
+    for p in range(nm0):
+        w_ref[p] = _dot(b1t_ref[:], in_ref[p], precision).astype(w_ref.dtype)
+    # 2. stage 2 accumulated in VECTOR REGISTERS, each output plane written
+    #    exactly once (sliced back from the sublane-padded nq1p rows)
+    for i in range(nq0):
+        acc = w_ref[0] * b0_ref[0, i]
+        for p in range(1, nm0):
+            acc += w_ref[p] * b0_ref[p, i]
+        out_ref[i] = acc[:nq1].astype(odt)
+
+
+def qp_w(in_pcoa3, b0, b1tp, *, nq1, epb, interpret=False,
+         precision=HIGHEST):
+    """Mid/high-order fused QP kernel (the round-3 nq=14/16 dip fix,
+    docs/experiments/exp_nq1416{c,d}.py): same math as qp_shared but
+    restructured around the two measured stalls in its inner loop —
+
+      - qp_shared interleaves one stage-1 dot with a stage-2 pass that
+        accumulates via ``out_ref[i] +=``: a per-p VMEM read-modify-write
+        chain on the output block.  Here stage 2 runs entirely in vector
+        registers and writes each output plane once.
+      - stage-1 dots all issue upfront into a VMEM scratch w, so the MXU
+        queue drains ahead of the VPU loop instead of gating it per p.
+      - b1tp is B1^T sublane-padded to nq1p = ceil8(nq1) zero rows: w
+        planes and the stage-2 accumulator stay vreg-tile-aligned (the
+        nq=14 case gains ~5% from this alone); the store slices back.
+
+    Measured at nelmt=262144 (v5e, HBM-honest chained): nq=16
+    74.8 GDOF/s vs 63.8 committed qp_shared (97% of the 77.3 empirical
+    mix ceiling); nq=14 65.6 vs 62.3 (86%); nq=10/12 also ahead of
+    qp_shared but still behind the dense-kron tiers that win there.
+    Dispatched as the Pallas(QP/Shared) tier for 100 <= nqTot < 1024.
+    Reference analog: the all-shared QP quad kernel,
+    benchmark04/benchmark04.cc:206-300."""
+    b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))  # SMEM is 32-bit
+    nm0, nm1, e = in_pcoa3.shape
+    nq0 = b0.shape[1]
+    nq1p = b1tp.shape[0]
+    grid = (e // epb,)
+    out = pl.pallas_call(
+        functools.partial(_qp_w_kernel, nm0, nq0, nq1, precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq1p, nm1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nm0, nm1, epb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq0, nq1, epb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq0, nq1, e), in_pcoa3.dtype),
+        scratch_shapes=[pltpu.VMEM((nm0, nq1p, epb), in_pcoa3.dtype)],
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(b1tp, b0, in_pcoa3)
+    return out
+
+
 def _stage1_kernel(nm0, precision, b1t_ref, in_ref, w_ref):
     # contract the q modes per p mode: w[p] = B1T @ in[p]
     for p in range(nm0):

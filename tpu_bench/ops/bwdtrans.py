@@ -254,6 +254,18 @@ def pad_lanes(n: int, lanes: int = 128) -> int:
     return -(-n // lanes) * lanes
 
 
+def pad_rows(m: jax.Array, mult: int = 8) -> jax.Array:
+    """Zero-pad a matrix's leading (sublane) dim up to a multiple of mult —
+    keeps per-plane vreg tiles aligned in kernels that slice the rows back
+    on store (kernels.bwdtrans2d.qp_w)."""
+    r = m.shape[0]
+    rp = -(-r // mult) * mult
+    if rp == r:
+        return m
+    return jnp.concatenate(
+        [m, jnp.zeros((rp - r,) + m.shape[1:], m.dtype)], axis=0)
+
+
 def wide_chunk_elems(e_pad: int, cap: int = 262144) -> int:
     """Largest power-of-two elements-per-chunk dividing e_pad, capped —
     the blocked-chunk width for the low-order VPU kron tier (measured
