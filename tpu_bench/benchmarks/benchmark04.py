@@ -56,10 +56,11 @@ def _xla(fn, cfg, ce=None, axis=0):
     return functools.partial(fn, precision=cfg.precision)
 
 
-def _blk4(src, nm_tot, e_pad):
-    """Wide-chunk blocked element stream, 4D (nblk, nmTot, ce/128, 128)
-    for the low-order VPU kron tier."""
-    ce = bwdtrans.wide_chunk_elems(e_pad)
+def _blk4(src, nm_tot, e_pad, cap=262144):
+    """Wide-chunk blocked element stream, 4D (nblk, nmTot, ce/128, 128):
+    cap=262144 for the nq=2 VPU kron tier (exp_ring.py optimum), cap=
+    WIDE4_CHUNK for the MXU kron_wide4 tier (exp_lo46d.py optimum)."""
+    ce = bwdtrans.wide_chunk_elems(e_pad, cap)
     return src["blk"](ce).reshape(e_pad // ce, nm_tot, ce // 128, 128)
 
 
@@ -90,8 +91,10 @@ def variant_specs(data, cfg):
          ("in_blk_wide", "c_coa"))
         if data["basis"].nm_tot * data["basis"].nq_tot <= pl_bt.VPU_KRON_MAX
         else
-        ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
-         ("in_blk", "c_coa")),
+        # nq>=4: dense kron GEMM on the wide-4D blocked layout — beats
+        # both the VPU ring and the flat-minor 3D form (exp_lo46d.py)
+        ("Pallas(Coales)", _pl_noepb(pl_bt.kron_wide4, cfg),
+         ("in_blk_w4", "c_coa")),
         ("Pallas(QP)", _pl(pl_bt.qp_global, cfg, epb_qp),
          ("in_pcoa3", "b0", "b1t")),
         # high order: G-grouped block-diagonal MXU form (see prepare)
@@ -193,10 +196,14 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
             in_blk=lambda: src["blk"](data["epb_kron"]),
             # wide-chunk blocked layout (4D) for the low-order VPU kron
             in_blk_wide=lambda: _blk4(src, basis.nm_tot, e_pad),
+            # same 4D form at the MXU kron tier's measured chunk optimum
+            in_blk_w4=lambda: _blk4(src, basis.nm_tot, e_pad,
+                                    data["ce_wide4"]),
         ),
     )
     data["epb_qp"] = epb
     data["epb_kron"] = epb_kron
+    data["ce_wide4"] = bwdtrans.wide_chunk_elems(e_pad, pl_bt.WIDE4_CHUNK)
     data["epb_em"] = data["epb_1d"] = epb_em
     # XLA-tier element chunking: cap the staged variants' HBM workspace
     # residency once in + workspace + two chain-carried outputs would not
@@ -225,12 +232,13 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         from tpu_bench.core import autotune as at
 
         sig = f"nq{nq0}x{nq1}/e{at.e_pad_class(e_pad)}"
-        data["epb_kron"] = at.autotune_epb(
-            "b04/kronblk", sig,
-            lambda e: (_pl_noepb(pl_bt.kron_blocked, cfg),
-                       (bwdtrans.blocked_coa(data["in_coa"], e),
-                        data["c_coa"])),
-            cfg, e_pad, default=epb_kron)
+        data["ce_wide4"] = at.autotune_epb(
+            "b04/wide4", sig,
+            lambda ce: (_pl_noepb(pl_bt.kron_wide4, cfg),
+                        (_blk4(src, basis.nm_tot, e_pad, ce),
+                         data["c_coa"])),
+            cfg, e_pad, candidates=(8192, 16384, 32768, 65536),
+            default=data["ce_wide4"])
         in_pcoa3 = data["in_pcoa3"]
         if nq_tot >= 100:
             data["epb_qp"] = at.autotune_epb(

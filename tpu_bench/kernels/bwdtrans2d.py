@@ -121,10 +121,56 @@ def kron_blocked(in_blk, c_coa, *, interpret=False, precision=HIGHEST):
 
 
 # Max nmTot*nqTot for the VPU-kron blocked tier (unrolled FMA statements
-# per block): covers nq=2 (any dim: 4, 8) and nq=4 2D (9*16 = 144) — the
-# low-order regime where a GEMM's MXU pass is nearly all tile padding and
-# the op is a streaming expansion.
-VPU_KRON_MAX = 160
+# per block): covers nq=2 only (any dim: 1*4 2D, 1*8 3D) — the K=1 regime
+# where an MXU dot is pure broadcast and the VPU wins (3D nq=2: 17.5 vs
+# 11.7 GDOF/s).  nq=4 2D moved to kron_wide4 in round 3: the 4D-wide MXU
+# form reads 56.1 vs 44.9 for the VPU ring (docs/experiments/exp_lo46c.py).
+VPU_KRON_MAX = 32
+
+# Chunk width (elements) for the wide-4D MXU kron tier: measured optimum
+# on v5e at nelmt=1Mi — 56.2/65.0/69.8 GDOF/s at nq=4/6/8 with ce=32768,
+# falling monotonically toward ce=262144 (docs/experiments/exp_lo46d.py).
+WIDE4_CHUNK = 32768
+
+
+def _kron_wide4_kernel(precision, c_ref, in_ref, out_ref):
+    nm, cr, lanes = in_ref.shape[1:]
+    nq = out_ref.shape[1]
+    flat = in_ref[0].reshape(nm, cr * lanes)
+    og = _dot(c_ref[:], flat, precision)
+    out_ref[0] = og.reshape(nq, cr, lanes).astype(out_ref.dtype)
+
+
+def kron_wide4(in_blk4, c_coa, *, interpret=False, precision=HIGHEST):
+    """Dense operator GEMM over the wide-chunk 4D blocked layout
+    (nblk, nmTot, ce/128, 128) — the round-3 low/mid-order Coales tier
+    (docs/experiments/exp_lo46{b,c,d}.py): the SAME kron GEMM at the SAME
+    ce reads 50.7 vs 42.7 GDOF/s through the 4D form vs the flat-minor 3D
+    form at nq=4 (Mosaic tiles the explicit (cr, 128) minor structure
+    better than a 262144-wide row), and the ce=32768 optimum lands at
+    95-98% of the geometry's measured copy-probe rate across nq=4..12:
+    56.1/65.0/69.8/72.5/73.6 at nq=4/6/8/10/12 vs committed round-2
+    values of 44.9/55.2/67.3/67.4/72.4.  Dimension-agnostic (3D callers
+    pass the kron3 operator).  Reference analog: the warp-interleaved
+    coalesced CUDA kernel, benchmark04/benchmark04.cc:78-147."""
+    nblk, nm, cr, lanes = in_blk4.shape
+    nq = c_coa.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_kron_wide4_kernel, precision),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((nq, nm), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nm, cr, lanes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, cr, lanes), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, nq, cr, lanes), in_blk4.dtype),
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(c_coa, in_blk4)
+    return out
 
 
 def _kron_vpu_kernel(nq, nm, c_ref, in_ref, out_ref):
