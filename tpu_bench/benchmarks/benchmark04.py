@@ -203,7 +203,8 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     )
     data["epb_qp"] = epb
     data["epb_kron"] = epb_kron
-    data["ce_wide4"] = bwdtrans.wide_chunk_elems(e_pad, pl_bt.WIDE4_CHUNK)
+    data["ce_wide4"] = bwdtrans.wide4_chunk_elems(
+        basis.nm_tot, basis.nq_tot, cfg.itemsize, e_pad, pl_bt.WIDE4_CHUNK)
     data["epb_em"] = data["epb_1d"] = epb_em
     # XLA-tier element chunking: cap the staged variants' HBM workspace
     # residency once in + workspace + two chain-carried outputs would not

@@ -276,6 +276,18 @@ def wide_chunk_elems(e_pad: int, cap: int = 262144) -> int:
     return ce
 
 
+def wide4_chunk_elems(nm_tot: int, nq_tot: int, itemsize: int, e_pad: int,
+                      cap: int, vmem_budget: int = 36 * 1024 * 1024) -> int:
+    """Chunk width for the kron_wide4 MXU tier: the measured ce=32768
+    optimum (docs/experiments/exp_lo46d.py), shrunk so the double-buffered
+    in+out blocks fit the VMEM budget — at nq=14+ a 32768-wide block is
+    96-520 MB and Mosaic cannot compile it.  The 36 MB budget reproduces
+    the measured optima at nq=8/10/12 (32768/16384/16384) exactly."""
+    cap = min(cap, max(vmem_budget // max((nm_tot + nq_tot) * itemsize * 2,
+                                          1), 128))
+    return wide_chunk_elems(e_pad, cap)
+
+
 def choose_xla_chunk(fixed_bytes: int, w_bytes_per_elem: int, e_pad: int,
                      cap: int):
     """Element-chunk width for the XLA staged tiers (None = no chunking):
