@@ -25,6 +25,8 @@ python "$PP/postprocess04.py" "$ROOT/b04"
 python "$PP/postprocess05.py" "$ROOT/b05"
 python "$PP/postprocess04.py" "$ROOT/f64/b04" || true
 python "$PP/postprocess05.py" "$ROOT/f64/b05" || true
+python "$PP/postprocess04.py" "$ROOT/bf16/b04" || true
+python "$PP/postprocess05.py" "$ROOT/bf16/b05" || true
 
 python "$HERE/readme_table.py"
 echo "finalize complete"

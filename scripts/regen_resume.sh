@@ -14,7 +14,7 @@ for i in 10 8 6 4; do
     SHA=$(git -C "$HERE/.." rev-parse --short HEAD 2>/dev/null || echo unknown)
     echo "[$(date +%H:%M:%S)] b05 nq$i start" >&2
     { echo "# provenance: solo single-stream regen $(date -u +%FT%TZ) @$SHA"
-      python -m tpu_bench.benchmarks.benchmark05 "$i" "$i" "$i" 2>&1
+      timeout 7200 python -m tpu_bench.benchmarks.benchmark05 "$i" "$i" "$i" 2>&1
     } > "$ROOT/b05/nq${i}x${i}x${i}.log"
     echo "[$(date +%H:%M:%S)] b05 nq$i done" >&2
 done

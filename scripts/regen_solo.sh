@@ -22,44 +22,44 @@ log() { echo "[$(date +%H:%M:%S)] $*" >&2; }
 stamp() { echo "# provenance: solo single-stream regen $(date -u +%FT%TZ) @$SHA"; }
 
 b04() { mkdir -p "$ROOT/b04"; log "b04 nq$1 start"
-    { stamp; python -m tpu_bench.benchmarks.benchmark04 "$1" "$1" 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark04 "$1" "$1" 2>&1; } \
         > "$ROOT/b04/nq$1x$1.log"; log "b04 nq$1 done"; }
 b05() { mkdir -p "$ROOT/b05"; log "b05 nq$1 start"
-    { stamp; python -m tpu_bench.benchmarks.benchmark05 "$1" "$1" "$1" 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 "$1" "$1" "$1" 2>&1; } \
         > "$ROOT/b05/nq$1x$1x$1.log"; log "b05 nq$1 done"; }
 stream() { mkdir -p "$ROOT/b$1"; log "b$1 start"
-    { stamp; python -m "tpu_bench.benchmarks.benchmark$1" 2>&1; } \
+    { stamp; timeout 7200 python -m "tpu_bench.benchmarks.benchmark$1" 2>&1; } \
         > "$ROOT/b$1/outfile.log"; log "b$1 done"; }
 bf16() { mkdir -p "$ROOT/bf16/b04" "$ROOT/bf16/b05"; log "bf16 start"
-    { stamp; python -m tpu_bench.benchmarks.benchmark04 8 8 --dtype bf16 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark04 8 8 --dtype bf16 2>&1; } \
         > "$ROOT/bf16/b04/nq8x8.log"
-    { stamp; python -m tpu_bench.benchmarks.benchmark05 8 8 8 --dtype bf16 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 8 8 8 --dtype bf16 2>&1; } \
         > "$ROOT/bf16/b05/nq8x8x8.log"; log "bf16 done"; }
 f64() {
     mkdir -p "$ROOT/f64/b01" "$ROOT/f64/b02" "$ROOT/f64/b03" \
         "$ROOT/f64/b04" "$ROOT/f64/b05"
     for n in 01 02 03; do
         log "f64 b$n start"
-        { stamp; python -m "tpu_bench.benchmarks.benchmark$n" --dtype f64 2>&1; } \
+        { stamp; timeout 7200 python -m "tpu_bench.benchmarks.benchmark$n" --dtype f64 2>&1; } \
             > "$ROOT/f64/b$n/outfile.log"
     done
     log "f64 b04 start"
-    { stamp; python -m tpu_bench.benchmarks.benchmark04 8 8 --dtype f64 --step 4 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark04 8 8 --dtype f64 --step 4 2>&1; } \
         > "$ROOT/f64/b04/nq8x8.log"
     log "f64 b05 start"
-    { stamp; python -m tpu_bench.benchmarks.benchmark05 8 8 8 --dtype f64 --step 4 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 8 8 8 --dtype f64 --step 4 2>&1; } \
         > "$ROOT/f64/b05/nq8x8x8.log"
     log "f64 done"
 }
 ceilings() { mkdir -p "$ROOT/ceilings"; log "ceilings start"
-    { stamp; python -m tpu_bench.benchmarks.ceilings 2>&1; } \
+    { stamp; timeout 7200 python -m tpu_bench.benchmarks.ceilings 2>&1; } \
         > "$ROOT/ceilings/ceilings.log"; log "ceilings done"; }
 
 case "$PART" in
   b04|all)      for i in 32 16 14 12 10 8 6 4 2; do b04 "$i"; done ;;&
   b05|all)      for i in 10 8 6 4 2; do b05 "$i"; done ;;&
   stream|all)   stream 01; stream 02; stream 03
-                python "$HERE/anchor.py" "$ROOT/anchor" ;;&
+                timeout 7200 python "$HERE/anchor.py" "$ROOT/anchor" ;;&
   bf16|all)     bf16 ;;&
   f64|all)      f64 ;;&
   ceilings|all) ceilings ;;&
