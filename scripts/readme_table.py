@@ -91,10 +91,10 @@ def build_table(artdir):
             return "≈100% (saturated, within probe fuzz)"
         return f"{p:.0f}%"
 
-    def row(name, path, unit, ref, cap=None, at=""):
+    def row(name, path, unit, ref, cap=None, at="", note=""):
         v, lab, size = peak(path)
         lines.append(f"| {name} | {lab} | **{v:.1f} {unit}** "
-                     f"(@ {size}{at}) | {pct(v, cap)} | {ref} |")
+                     f"(@ {size}{at}) | {pct(v, cap)}{note} | {ref} |")
 
     from tpu_bench.core import roofline
 
@@ -106,11 +106,18 @@ def build_table(artdir):
     row("b03 dense matvec", f"{artdir}/b03/outfile.log", "GB/s", REF["b03"],
         cap=r)
     for nq in (2, 4, 8, 32):
+        # nq=32 sits at the measured f32-faithful MXU wall, not a bus or
+        # design limit: <=1e-6 math costs 6 bf16 passes per f32 dot, and
+        # at 6 passes the grouped kernel is MXU-bound (~55.6); DEFAULT
+        # precision runs the same kernel bus-bound at ~81 (docs/round3.md
+        # §1, docs/experiments/exp_nq32c.py)
+        note = (" (at the measured 6-pass f32 MXU wall; 1-pass runs ~81 "
+                "bus-bound — docs/round3.md §1)" if nq == 32 else "")
         row(f"b04 2D BwdTrans nq={nq}²",
             f"{artdir}/b04/nq{nq}x{nq}.log", "GDOF/s", REF[("b04", nq)],
             cap=(roofline.bwdtrans_ceiling_gdofs(r, w, nq, 2, 4)
                  if bw else None),
-            at=" elmts")
+            at=" elmts", note=note)
     for nq in (2, 4, 8, 10):
         row(f"b05 3D BwdTrans nq={nq}³",
             f"{artdir}/b05/nq{nq}x{nq}x{nq}.log", "GDOF/s",
