@@ -1,8 +1,10 @@
 """Physical bandwidth ceilings from measured directional bandwidths.
 
 HBM read and write directions saturate at different rates (committed v5e
-ceilings artifact: 761.5 GB/s read-only, 660.0 GB/s write-only —
-artifacts/ceilings/ceilings.log), so a single "HBM peak" number
+ceilings artifact: 755.8 GB/s read-only, 651.8 GB/s write-only —
+artifacts/ceilings/ceilings.log; tests/test_tooling.py asserts these two
+quoted figures still match the committed artifact, so a re-measure cannot
+silently strand them), so a single "HBM peak" number
 over-states what any mixed-traffic kernel can do.  Two bounds bracket the achievable
 combined rate for a kernel moving R read and W written bytes:
 
