@@ -6,6 +6,9 @@
 #   3. second ceiling pass over the refreshed rows (solo reruns are bound
 #      by the same physics; a violation here means a real methodology bug)
 #   4. regenerate every .png and the README performance table
+#   5. run the CPU test suite and REFUSE to succeed while it is red or the
+#      README table is stale — the round-3 failure mode (artifacts landed
+#      but the sync test red at HEAD) exits nonzero here (VERDICT r3 #8)
 #
 # Usage: scripts/finalize_artifacts.sh [artifact root]
 set -eu
@@ -29,4 +32,6 @@ python "$PP/postprocess04.py" "$ROOT/bf16/b04" || true
 python "$PP/postprocess05.py" "$ROOT/bf16/b05" || true
 
 python "$HERE/readme_table.py"
-echo "finalize complete"
+python "$HERE/readme_table.py" --check
+python -m pytest "$HERE/../tests" -q
+echo "finalize complete — suite green, README table in sync"

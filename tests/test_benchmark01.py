@@ -18,18 +18,17 @@ GOLDEN_NORMS = {1024: 231.3925755, 2048: 327.7035849, 4096: 464.5263377}
 def test_variants_match_oracle(size, cfg64):
     x_host = native.init_mod13(size)
     expected = float(np.sqrt(np.sum(x_host * x_host)))
-    x = initdata.device_x(size, cfg64.dtype)
-    for v in b01.VARIANTS:
-        fn = v.build(None, cfg64)
-        got = math.sqrt(float(fn(x)))
-        assert got == pytest.approx(expected, rel=1e-12), v.label
+    data = {"x": initdata.device_x(size, cfg64.dtype)}
+    for label, fn, args in b01.build_variants(data, cfg64):
+        got = math.sqrt(float(fn(*args)))
+        assert got == pytest.approx(expected, rel=1e-12), label
 
 
 @pytest.mark.parametrize("size,norm", sorted(GOLDEN_NORMS.items()))
 def test_golden_norms(size, norm, cfg64):
-    x = initdata.device_x(size, cfg64.dtype)
-    fn = b01.VARIANTS[0].build(None, cfg64)
-    got = math.sqrt(float(fn(x)))
+    data = {"x": initdata.device_x(size, cfg64.dtype)}
+    _, fn, args = b01.build_variants(data, cfg64)[0]
+    got = math.sqrt(float(fn(*args)))
     assert got == pytest.approx(norm, rel=1e-9)
 
 
@@ -37,11 +36,14 @@ def test_f32_accuracy(cfg32):
     size = 8192
     x_host = native.init_mod13(size)
     expected = float(np.sqrt(np.sum(x_host * x_host)))
-    x = initdata.device_x(size, cfg32.dtype)
-    for v in b01.VARIANTS:
-        fn = v.build(None, cfg32)
-        got = math.sqrt(float(fn(x)))
-        assert got == pytest.approx(expected, rel=1e-5), v.label
+    data = {"x": initdata.device_x(size, cfg32.dtype)}
+    for label, fn, args in b01.build_variants(data, cfg32):
+        got = math.sqrt(float(fn(*args)))
+        assert got == pytest.approx(expected, rel=1e-5), label
+
+
+def test_labels_match_specs(cfg32):
+    assert [s[0] for s in b01.variant_specs(None, cfg32)] == b01.LABELS
 
 
 def test_chained_timing_protocol(cfg32):
@@ -51,7 +53,7 @@ def test_chained_timing_protocol(cfg32):
     import jax.numpy as jnp
 
     x = initdata.device_x(65536, cfg32.dtype)
-    fn = b01.VARIANTS[0].build(None, cfg32)
+    _, fn, _ = b01.build_variants({"x": x}, cfg32)[0]
     run_k = build_chain(fn)
     t, witness = time_chained(run_k, (x,), n_tests=8)
     assert 0 < t < 1.0

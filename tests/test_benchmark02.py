@@ -9,12 +9,20 @@ import numpy as np
 import pytest
 
 from tpu_bench.benchmarks import benchmark02 as b02
+from tpu_bench.core.variants import Layouts
 from tpu_bench.core.validate import l2norm
 from tpu_bench.ops import initdata
 from tpu_bench.utils import native
 
+
 # ||x0 + 40 y|| from /root/reference/benchmark02/outfile.log:5,8
 GOLDEN_NORMS = {1024: 5979.883197, 2048: 8481.399219}
+
+
+def _data(size, cfg):
+    y = initdata.device_y(size, cfg.dtype)
+    return Layouts(base={"y": y},
+                   derived={"x": lambda: initdata.device_x(size, cfg.dtype)})
 
 
 @pytest.mark.parametrize("size", [1024, 4096])
@@ -23,17 +31,20 @@ def test_variants_accumulate(size, cfg64):
     y_host = native.init_mod8(size)
     n_reps = cfg64.n_tests
     expected = float(np.linalg.norm(x_host + n_reps * y_host))
-    y = initdata.device_y(size, cfg64.dtype)
-    for v in b02.VARIANTS:
-        fn = v.build(None, cfg64)
-        _, x_final = b02._time_accumulating(fn, size, cfg64, y)
-        assert l2norm(x_final) == pytest.approx(expected, rel=1e-12), v.label
+    data = _data(size, cfg64)
+    for label, fn, _keys in b02.variant_specs(data, cfg64):
+        _, x_final = b02._time_accumulating(fn, cfg64, data)
+        assert l2norm(x_final) == pytest.approx(expected, rel=1e-12), label
 
 
 @pytest.mark.parametrize("size,norm", sorted(GOLDEN_NORMS.items()))
 def test_golden_norms(size, norm, cfg64):
     cfg64.n_tests = 40  # goldens assume the reference's 40 reps
-    y = initdata.device_y(size, cfg64.dtype)
-    fn = b02.VARIANTS[1].build(None, cfg64)
-    _, x_final = b02._time_accumulating(fn, size, cfg64, y)
+    data = _data(size, cfg64)
+    _, fn, _ = b02.variant_specs(data, cfg64)[1]
+    _, x_final = b02._time_accumulating(fn, cfg64, data)
     assert l2norm(x_final) == pytest.approx(norm, rel=1e-9)
+
+
+def test_labels_match_specs(cfg32):
+    assert [s[0] for s in b02.variant_specs(None, cfg32)] == b02.LABELS

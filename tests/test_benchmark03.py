@@ -13,37 +13,41 @@ from tpu_bench.utils import native
 GOLDEN_NORMS = {128: 1053.208334, 256: 3026.150384, 512: 8521.062683}
 
 
-def _inputs(size, dtype):
+def _data(size, dtype):
     import jax.numpy as jnp
 
     a = initdata.host_matrix_sin1((size, size), dtype)
-    return a, jnp.asarray(a.T), initdata.host_x_linear(size, dtype)
+    return {"a_rm": a, "a_cm": jnp.asarray(a.T),
+            "x": initdata.host_x_linear(size, dtype)}
 
 
 @pytest.mark.parametrize("size", [128, 256])
 def test_variants_match_oracle(size, cfg64):
-    a, a_t, x = _inputs(size, cfg64.dtype)
-    expected = native.matvec_ref(np.asarray(a), np.asarray(x))
-    for v in b03.VARIANTS:
-        fn, layout = v.build(None, cfg64)
-        y = np.asarray(fn(a_t if layout == "cm" else a, x))
-        np.testing.assert_allclose(y, expected, rtol=1e-10, err_msg=v.label)
+    data = _data(size, cfg64.dtype)
+    expected = native.matvec_ref(np.asarray(data["a_rm"]),
+                                 np.asarray(data["x"]))
+    for label, fn, args in b03.build_variants(data, cfg64):
+        y = np.asarray(fn(*args))
+        np.testing.assert_allclose(y, expected, rtol=1e-10, err_msg=label)
 
 
 @pytest.mark.parametrize("size,norm", sorted(GOLDEN_NORMS.items()))
 def test_golden_norms(size, norm, cfg64):
-    a, a_t, x = _inputs(size, cfg64.dtype)
-    fn, _ = b03.VARIANTS[1].build(None, cfg64)
-    assert l2norm(fn(a, x)) == pytest.approx(norm, rel=1e-9)
+    data = _data(size, cfg64.dtype)
+    _, fn, args = b03.build_variants(data, cfg64)[1]
+    assert l2norm(fn(*args)) == pytest.approx(norm, rel=1e-9)
+
+
+def test_labels_match_specs(cfg32):
+    assert [s[0] for s in b03.variant_specs(None, cfg32)] == b03.LABELS
 
 
 def test_f32_accuracy(cfg32):
     size = 512
-    a, a_t, x = _inputs(size, cfg32.dtype)
-    expected = native.matvec_ref(np.asarray(a, np.float64),
-                                 np.asarray(x, np.float64))
+    data = _data(size, cfg32.dtype)
+    expected = native.matvec_ref(np.asarray(data["a_rm"], np.float64),
+                                 np.asarray(data["x"], np.float64))
     ref_norm = float(np.linalg.norm(expected))
-    for v in b03.VARIANTS:
-        fn, layout = v.build(None, cfg32)
-        got = l2norm(fn(a_t if layout == "cm" else a, x))
-        assert got == pytest.approx(ref_norm, rel=1e-5), v.label
+    for label, fn, args in b03.build_variants(data, cfg32):
+        got = l2norm(fn(*args))
+        assert got == pytest.approx(ref_norm, rel=1e-5), label

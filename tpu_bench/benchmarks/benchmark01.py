@@ -20,8 +20,8 @@ import math
 import jax
 
 from tpu_bench.baselines import reduction as xla_red
+from tpu_bench.core import variants
 from tpu_bench.core.config import Config
-from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
@@ -40,18 +40,28 @@ def _chain(fn):
 
     return chain_fn
 
-VARIANTS = [
-    Variant("XLA", lambda d, c: xla_red.sumsq),
-    Variant("XLA(dot)", lambda d, c: xla_red.sumsq_dot),
-    Variant("Pallas", lambda d, c: jax.jit(functools.partial(
-        pl_red.sumsq_two_pass, interpret=c.interpret))),
-    Variant("Pallas(vl)", lambda d, c: jax.jit(functools.partial(
-        pl_red.sumsq_wide, interpret=c.interpret))),
-    Variant("Pallas(functor)", lambda d, c: jax.jit(functools.partial(
-        pl_red.sumsq_functor, interpret=c.interpret))),
-]
+LABELS = ["XLA", "XLA(dot)", "Pallas", "Pallas(vl)", "Pallas(functor)"]
 
-LABELS = [v.label for v in VARIANTS]
+
+def variant_specs(data, cfg):
+    """Ordered (label, fn, operand keys) — core/variants.py convention.
+    One streaming operand; the chained probe threads through the eps
+    scalar every b01 variant folds in (_chain), not an operand key."""
+    del data
+    return [
+        ("XLA", xla_red.sumsq, ("x",)),
+        ("XLA(dot)", xla_red.sumsq_dot, ("x",)),
+        ("Pallas", jax.jit(functools.partial(
+            pl_red.sumsq_two_pass, interpret=cfg.interpret)), ("x",)),
+        ("Pallas(vl)", jax.jit(functools.partial(
+            pl_red.sumsq_wide, interpret=cfg.interpret)), ("x",)),
+        ("Pallas(functor)", jax.jit(functools.partial(
+            pl_red.sumsq_functor, interpret=cfg.interpret)), ("x",)),
+    ]
+
+
+def build_variants(data, cfg):
+    return variants.materialize(variant_specs(data, cfg), data)
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
@@ -59,14 +69,14 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     (the run_test<T> analog, benchmark01/benchmark01.cc:183-335)."""
     x = initdata.device_x(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(x)
+    data = {"x": x}
 
     times, norms = [], []
-    for v in VARIANTS:
-        fn = v.build(None, cfg)
+    for label, fn, args in build_variants(data, cfg):
         # b01's kernel output is the sumsq scalar itself, so its norm is
         # sqrt(out) = witness ** 0.25 (the witness squares the output)
         t, norm = measure_checked(
-            v.label, fn, (x,), cfg, reporter, chain_fn=_chain(fn),
+            label, fn, args, cfg, reporter, chain_fn=_chain(fn),
             norm_fn=lambda out: math.sqrt(float(out)),
             witness_norm=lambda w: w ** 0.25)
         times.append(t)

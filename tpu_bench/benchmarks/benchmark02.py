@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_bench.baselines import axpy as xla_axpy
+from tpu_bench.core import variants
 from tpu_bench.core.config import Config
-from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import honest_options, sync_latency, time_chained
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
@@ -48,17 +48,29 @@ def _pallas(fn_name, cfg):
                    donate_argnums=(0,))
 
 
-VARIANTS = [
-    Variant("XLA(donate)", lambda d, c: xla_axpy.add_donated),
-    Variant("XLA", lambda d, c: xla_axpy.add),
-    Variant("Pallas", lambda d, c: _pallas("add_inplace", c)),
-    Variant("Pallas(vl)", lambda d, c: jax.jit(
-        functools.partial(pl_stream.add_inplace_manual,
-                          interpret=c.interpret), donate_argnums=(0,))),
-    Variant("Pallas(functor)", lambda d, c: _pallas("map2_inplace", c)),
-]
+LABELS = ["XLA(donate)", "XLA", "Pallas", "Pallas(vl)", "Pallas(functor)"]
 
-LABELS = [v.label for v in VARIANTS]
+
+def variant_specs(data, cfg):
+    """Ordered (label, fn, operand keys) — core/variants.py convention.
+    The "x" key is a lazy derived entry (fresh per access): the donated
+    in-place variants consume their input, so each timing/validation pass
+    needs its own copy."""
+    del data
+    return [
+        ("XLA(donate)", xla_axpy.add_donated, ("x", "y")),
+        ("XLA", xla_axpy.add, ("x", "y")),
+        ("Pallas", _pallas("add_inplace", cfg), ("x", "y")),
+        ("Pallas(vl)", jax.jit(
+            functools.partial(pl_stream.add_inplace_manual,
+                              interpret=cfg.interpret),
+            donate_argnums=(0,)), ("x", "y")),
+        ("Pallas(functor)", _pallas("map2_inplace", cfg), ("x", "y")),
+    ]
+
+
+def build_variants(data, cfg):
+    return variants.materialize(variant_specs(data, cfg), data)
 
 
 def _accum_chain(fn):
@@ -84,27 +96,25 @@ def _accum_apply(fn):
     return apply_n
 
 
-def _time_accumulating(fn, size, cfg, y):
-    """Time one x += y application; return (seconds, x_after_n_tests_reps)."""
+def _time_accumulating(fn, cfg, data):
+    """Time one x += y application; return (seconds, x_after_n_tests_reps).
+    data["x"] yields a FRESH x per access (lazy derived layout)."""
+    y = data["y"]
     mode = cfg.timing
     if mode == "auto":
         mode = "chained" if sync_latency() > 1e-3 else "dispatch"
 
     if mode == "chained":
-        x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         run_k = _accum_chain(fn)
-        t, _ = time_chained(run_k, (x, y), n_tests=cfg.n_tests,
+        t, _ = time_chained(run_k, (data["x"], y), n_tests=cfg.n_tests,
                             compiler_options=honest_options(cfg))
-        x = initdata.device_x(size, cfg.dtype, pad_to=1024)
-        x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), x, y)
+        x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), data["x"], y)
         return t, x_final
 
     # dispatch mode: warm the jit cache on a scratch x (donation may
     # invalidate it), then exactly n_tests timed accumulating reps.
-    xw = initdata.device_x(size, cfg.dtype, pad_to=1024)
-    jax.block_until_ready(fn(xw, y))
-    del xw
-    x = initdata.device_x(size, cfg.dtype, pad_to=1024)
+    jax.block_until_ready(fn(data["x"], y))
+    x = data["x"]
     jax.block_until_ready(x)
     from tpu_bench.core.timing import Timer
 
@@ -122,18 +132,22 @@ def _time_accumulating(fn, size, cfg, y):
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     y = initdata.device_y(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(y)
+    data = variants.Layouts(
+        base={"y": y},
+        derived={"x": lambda: initdata.device_x(size, cfg.dtype,
+                                                pad_to=1024)})
 
     def timed(fn):
         def thunk():
-            t, x_final = _time_accumulating(fn, size, cfg, y)
+            t, x_final = _time_accumulating(fn, cfg, data)
             norm = l2norm(x_final)
             del x_final
             return t, norm
         return thunk
 
     times, norms = [], []
-    for v in VARIANTS:
-        t, norm = fail_soft(v.label, reporter, timed(v.build(None, cfg)))
+    for label, fn, _keys in variant_specs(data, cfg):
+        t, norm = fail_soft(label, reporter, timed(fn))
         times.append(t)
         norms.append(norm)
 

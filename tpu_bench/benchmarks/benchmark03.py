@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_bench.baselines import matvec as xla_mv
+from tpu_bench.core import variants
 from tpu_bench.core.config import Config
-from tpu_bench.core.registry import Variant
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
@@ -32,20 +32,34 @@ from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
 from tpu_bench.kernels import matvec as pl_mv
 from tpu_bench.ops import initdata
 
-VARIANTS = [
-    Variant("XLA(rowsum)", lambda d, c: (xla_mv.rowsum, "rm")),
-    Variant("XLA(gemv-rm)", lambda d, c: (
-        functools.partial(xla_mv.gemv_rm, precision=c.precision), "rm")),
-    Variant("XLA(gemv-cm)", lambda d, c: (
-        functools.partial(xla_mv.gemv_cm, precision=c.precision), "cm")),
-    Variant("Pallas(vpu)", lambda d, c: (jax.jit(functools.partial(
-        pl_mv.matvec_vpu, interpret=c.interpret)), "rm")),
-    Variant("Pallas(mxu)", lambda d, c: (jax.jit(functools.partial(
-        pl_mv.matvec_mxu, interpret=c.interpret,
-        precision=c.precision)), "cm")),
-]
+LABELS = ["XLA(rowsum)", "XLA(gemv-rm)", "XLA(gemv-cm)", "Pallas(vpu)",
+          "Pallas(mxu)"]
 
-LABELS = [v.label for v in VARIANTS]
+
+def variant_specs(data, cfg):
+    """Ordered (label, fn, operand keys) — core/variants.py convention.
+    The matrix key picks the layout ("a_rm" row-major / "a_cm" the
+    column-major copy); index 1 ("x") is the small operand the chained
+    timer perturbs (eps_chain)."""
+    del data
+    return [
+        ("XLA(rowsum)", xla_mv.rowsum, ("a_rm", "x")),
+        ("XLA(gemv-rm)",
+         functools.partial(xla_mv.gemv_rm, precision=cfg.precision),
+         ("a_rm", "x")),
+        ("XLA(gemv-cm)",
+         functools.partial(xla_mv.gemv_cm, precision=cfg.precision),
+         ("a_cm", "x")),
+        ("Pallas(vpu)", jax.jit(functools.partial(
+            pl_mv.matvec_vpu, interpret=cfg.interpret)), ("a_rm", "x")),
+        ("Pallas(mxu)", jax.jit(functools.partial(
+            pl_mv.matvec_mxu, interpret=cfg.interpret,
+            precision=cfg.precision)), ("a_cm", "x")),
+    ]
+
+
+def build_variants(data, cfg):
+    return variants.materialize(variant_specs(data, cfg), data)
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
@@ -56,12 +70,11 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     a_t = jnp.asarray(a.T)  # column-major copy, materialized untimed
     x = initdata.host_x_linear(n, cfg.dtype, pad_to=128)
     jax.block_until_ready((a, a_t, x))
+    data = {"a_rm": a, "a_cm": a_t, "x": x}
 
     times, norms = [], []
-    for v in VARIANTS:
-        fn, layout = v.build(None, cfg)
-        mat = a_t if layout == "cm" else a
-        t, norm = measure_checked(v.label, fn, (mat, x), cfg, reporter,
+    for label, fn, args in build_variants(data, cfg):
+        t, norm = measure_checked(label, fn, args, cfg, reporter,
                                   chain_fn=eps_chain(fn, eps_arg=1))
         times.append(t)
         norms.append(norm)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_bench.baselines import bwdtrans2d as xla_bt
+from tpu_bench.core import variants
 from tpu_bench.core.config import Config
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
@@ -125,8 +126,7 @@ def variant_specs(data, cfg):
 def build_variants(data, cfg):
     """(label, fn, args) with every operand materialized — test-suite and
     small-size convenience; sweeps use variant_specs + lazy resolution."""
-    return [(label, fn, tuple(data[k] for k in keys))
-            for label, fn, keys in variant_specs(data, cfg)]
+    return variants.materialize(variant_specs(data, cfg), data)
 
 
 LABELS = [
