@@ -148,6 +148,12 @@ def run_nq(nq, nelmt, cfg):
                 ("B qp_w_stage", qp_w_stage, dict(nq1=nq1)),
                 ("C qp_w_padded", qp_w_padded, dict())]
     for epb in (1024, 2048, 4096):
+        if nelmt % epb:
+            # grid=(e // epb,) would truncate: trailing blocks unwritten,
+            # undefined values feeding the norm witness (ADVICE r3)
+            print(f"skip epb={epb}: does not divide nelmt={nelmt}",
+                  flush=True)
+            continue
         for name, kern, kw in variants:
             fn = jax.jit(functools.partial(kern, epb=epb, **kw))
             label = f"nq{nq} {name} epb={epb}"

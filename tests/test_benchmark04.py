@@ -85,6 +85,39 @@ def test_f32_agreement(cfg32):
         assert n == pytest.approx(ref, rel=5e-4), label
 
 
+def test_high_precision_agreement(cfg32):
+    """--precision high: f32 contractions via the hand-built bf16x3 3-pass
+    split (kernels/bwdtrans2d._dot — Mosaic rejects Precision.HIGH, so the
+    split is built from DEFAULT passes).  Every variant must stay within
+    the documented ~1e-5 envelope of the f64 oracle, including the grouped
+    MXU kernel the nq=32 frontier lives on."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(cfg32, precision=jax.lax.Precision.HIGH)
+    nelmt = 256
+    for nq in (6, 32):
+        data = b04.prepare(nq, nq, nelmt, cfg)
+        ref_norm = float(np.linalg.norm(
+            bwdtrans.reference2d(data["basis"], nelmt)))
+        for label, fn, args in b04.build_variants(data, cfg):
+            got = l2norm(fn(*args))
+            assert got == pytest.approx(ref_norm, rel=3e-5), (nq, label)
+
+
+def test_split_f32_exact():
+    """hi + lo must reconstruct f32 exactly (the 3-pass split's invariant)."""
+    import jax.numpy as jnp
+
+    from tpu_bench.kernels.bwdtrans2d import _split_f32
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 128)),
+                    dtype=jnp.float32)
+    hi, lo = _split_f32(x)
+    assert jnp.array_equal(hi + lo, x)
+
+
 def test_odd_nelmt_padding(cfg64):
     """nelmt not a multiple of 128 must stay correct: padding elements are
     zeroed, so the norm matches the true element count."""

@@ -35,6 +35,13 @@ from tpu_bench.kernels import common
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _split_f32(x):
+    """Exact f32 = bf16 hi + f32 lo decomposition (lo is itself
+    bf16-representable up to one more split level)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
 def _dot(a, b, precision):
     # MXU accumulation is 32-bit minimum: for bf16 operands request an f32
     # accumulator (Mosaic rejects a bf16 acc outright) and let the caller
@@ -45,6 +52,19 @@ def _dot(a, b, precision):
     dt = jnp.result_type(a.dtype, b.dtype)
     if dt == jnp.bfloat16:
         precision = None
+    elif precision == jax.lax.Precision.HIGH and dt == jnp.float32:
+        # Mosaic rejects Precision.HIGH inside kernels, so build XLA's
+        # HIGH scheme (bf16x3) by hand: split both operands into bf16
+        # hi + lo and take three DEFAULT MXU passes, dropping only the
+        # ~2^-18-weight lo*lo term.  Halves the MXU work of HIGHEST's
+        # 6-pass emulation at ~1e-6 relative error — the measured
+        # nq=32 frontier (docs/experiments/exp_nq32c.py: 3-pass 81
+        # GDOF/s @ 1.03e-5 rel-err vs 6-pass 55.6 @ 5.3e-8).
+        ah, al = _split_f32(a)
+        bh, bl = _split_f32(b)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return jnp.dot(a, b, preferred_element_type=common.acc_dtype(dt),
                    precision=precision)
 
