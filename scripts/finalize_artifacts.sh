@@ -30,6 +30,7 @@ python "$PP/postprocess04.py" "$ROOT/f64/b04" || true
 python "$PP/postprocess05.py" "$ROOT/f64/b05" || true
 python "$PP/postprocess04.py" "$ROOT/bf16/b04" || true
 python "$PP/postprocess05.py" "$ROOT/bf16/b05" || true
+python "$PP/postprocess04.py" "$ROOT/high/b04" || true
 
 python "$HERE/readme_table.py"
 python "$HERE/readme_table.py" --check

@@ -54,10 +54,12 @@ def _itemsize(path):
 
 
 def _logs(pattern):
-    """Every committed tier is ceiling-enforced: f32, f64, and bf16."""
+    """Every committed tier is ceiling-enforced: f32, f64, bf16, and the
+    reduced-precision f32 tier (high = bf16x3; same traffic as f32)."""
     return sorted(glob.glob(os.path.join(ROOT, "artifacts", pattern)) +
                   glob.glob(os.path.join(ROOT, "artifacts", "f64", pattern)) +
-                  glob.glob(os.path.join(ROOT, "artifacts", "bf16", pattern)))
+                  glob.glob(os.path.join(ROOT, "artifacts", "bf16", pattern)) +
+                  glob.glob(os.path.join(ROOT, "artifacts", "high", pattern)))
 
 
 @pytest.mark.parametrize("name,mix", [
