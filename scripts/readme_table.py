@@ -60,6 +60,11 @@ def peak(path):
 
 def load_ceilings(artdir):
     """(read, write) GB/s from the committed ceilings artifact, or None."""
+    d = load_ceilings_dict(artdir)
+    return (d["read"], d["write"]) if d else None
+
+
+def load_ceilings_dict(artdir):
     import json
 
     path = os.path.join(artdir, "ceilings", "ceilings.log")
@@ -68,8 +73,7 @@ def load_ceilings(artdir):
     with open(path) as f:
         for line in f:
             if line.startswith("{"):
-                d = json.loads(line)
-                return d["read"], d["write"]
+                return json.loads(line)
     return None
 
 
@@ -125,7 +129,62 @@ def build_table(artdir):
             cap=(roofline.bwdtrans_ceiling_gdofs(r, w, nq, 3, 4)
                  if bw else None),
             at=" elmts")
+    tiers = tier_table(artdir)
+    if tiers:
+        lines += ["", "Other committed dtype/precision tiers (every log "
+                  "ceiling-enforced by tests/test_artifact_honesty.py):",
+                  ""] + tiers
     return "\n".join(lines)
+
+
+# itemsize per tier: bf16 halves the stream, f64 doubles it, high is the
+# bf16x3 3-pass f32 mode (kernels/bwdtrans2d._dot) — f32 traffic
+TIER_ITEMSIZE = {"bf16": 2, "f64": 8, "high": 4}
+
+
+def tier_table(artdir):
+    """One row per committed non-f32 log, derived from whatever exists so
+    new tier sweeps appear without editing this script."""
+    import glob
+
+    from tpu_bench.core import roofline
+
+    bw = load_ceilings_dict(artdir)
+    rows = []
+    for tier in ("bf16", "high", "f64"):
+        logs = sorted(glob.glob(os.path.join(artdir, tier, "*", "*.log")))
+
+        def key(p):
+            m = re.search(r"nq(\d+)x", os.path.basename(p))
+            return (os.path.basename(os.path.dirname(p)),
+                    int(m.group(1)) if m else 0)
+
+        for path in sorted(logs, key=key):
+            sub = os.path.basename(os.path.dirname(path))  # b01..b05
+            m = re.search(r"nq(\d+)x", os.path.basename(path))
+            v, lab, size = peak(path)
+            if v <= 0:
+                continue
+            if m and bw:
+                nq, dim = int(m.group(1)), (2 if sub == "b04" else 3)
+                cap = roofline.bwdtrans_ceiling_gdofs(
+                    bw["read"], bw["write"], nq, dim,
+                    TIER_ITEMSIZE[tier])
+                name = f"{tier} {sub} nq={nq}{'²' if dim == 2 else '³'}"
+                unit = "GDOF/s"
+            elif bw:
+                cap = (roofline.stream_add_ceiling(bw["read"], bw["write"])
+                       if sub == "b02" else bw["read"])
+                name, unit = f"{tier} {sub}", "GB/s"
+            else:
+                cap, unit, name = None, "GB/s", f"{tier} {sub}"
+            p = f"{100 * v / cap:.0f}%" if cap else "—"
+            rows.append(f"| {name} | {lab} | **{v:.1f} {unit}** "
+                        f"(@ {size}) | {p} |")
+    if not rows:
+        return []
+    return ["| Tier | Best variant | Measured peak | % of tier "
+            "shared-bus ceiling |", "|---|---|---|---|"] + rows
 
 
 def main():
