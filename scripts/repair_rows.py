@@ -44,13 +44,16 @@ def ceilings(artdir):
 
 
 def dtype_of(path):
-    """(dtype flag args, itemsize) for an artifact log path.  Tier dirs
-    (artifacts/f64/, artifacts/bf16/) mark non-f32 runs; reruns must carry
-    the matching --dtype or they would splice f32 rows into the tier."""
+    """(rerun flag args, itemsize) for an artifact log path.  Tier dirs
+    (artifacts/{f64,bf16,high}/) mark non-default runs; reruns must carry
+    the matching --dtype / --precision or they would splice rows measured
+    under the wrong mode into the tier."""
     if f"{os.sep}f64{os.sep}" in path:
         return ["--dtype", "f64"], 8
     if f"{os.sep}bf16{os.sep}" in path:
         return ["--dtype", "bf16"], 2
+    if f"{os.sep}high{os.sep}" in path:
+        return ["--precision", "high"], 4
     return [], 4
 
 
