@@ -32,4 +32,10 @@ log "exp_nq14 start"
 { stamp " store-alignment candidates on-chip (VERDICT r3 #2)"
   timeout 3600 python "$HERE/../docs/experiments/exp_nq14.py" 262144 2>&1
 } > "$ROOT/wall/nq14.log"
+log "exp_nq14 done"
+
+log "exp_lo3d start"
+{ stamp " wide-4D kron in 3D candidates"
+  timeout 3600 python "$HERE/../docs/experiments/exp_lo3d.py" 1048576 2>&1
+} > "$ROOT/wall/lo3d.log"
 log "regen_round4b complete"
