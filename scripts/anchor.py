@@ -18,6 +18,10 @@ import io
 import os
 import sys
 
+# `python scripts/anchor.py` puts scripts/ (not the repo root) on
+# sys.path; don't depend on the editable install being present
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def run_one(mod_main, argv, stream):
     buf = io.StringIO()

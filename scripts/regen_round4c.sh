@@ -20,6 +20,14 @@ for i in 32 16 14 12 10 8 6 4 2; do
     log "b04 nq$i done"
 done
 
+# anchor re-run: stage A's attempt crashed on a missing editable install
+# (scripts/anchor.py now inserts the repo root itself)
+log "anchor start"
+timeout 7200 python "$HERE/anchor.py" "$ROOT/anchor"
+sed -i "1i # provenance: solo single-stream regen $(date -u +%FT%TZ) @$SHA" \
+    "$ROOT/anchor/anchor.log"
+log "anchor done"
+
 log "b05 nq2 start"
 { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 2 2 2 2>&1; } \
     > "$ROOT/b05/nq2x2x2.log"
