@@ -60,3 +60,17 @@ def test_chained_timing_protocol(cfg32):
     # the witness squares b01's sumsq output: norm = witness ** 0.25
     want = float(jnp.sqrt(fn(x)))
     assert math.isclose(witness ** 0.25, want, rel_tol=1e-5)
+
+
+def test_per_from_window_never_fabricates_throughput():
+    """A noise-inverted window (best_hi < best_lo) must fall back to the
+    conservative whole-chain bound, never a 1e-12 clamp (the committed b02
+    98 PB/s row this guards against)."""
+    from tpu_bench.core.timing import _per_from_window
+
+    # healthy window: plain differencing
+    assert _per_from_window(0.9, 0.1, 512, 64) == pytest.approx(0.8 / 448)
+    # inverted window: whole-chain upper bound on per-rep time
+    assert _per_from_window(0.1, 0.2, 512, 64) == pytest.approx(0.1 / 512)
+    # zero window: same fallback
+    assert _per_from_window(0.2, 0.2, 512, 64) == pytest.approx(0.2 / 512)

@@ -318,8 +318,23 @@ def time_chained(
         reps = max(3, reps // 2)
     best_lo = min(timed(k_lo) for _ in range(reps))
     best_hi = min(timed(k_hi) for _ in range(reps))
+    return _per_from_window(best_hi, best_lo, k_hi, k_lo), witness
+
+
+def _per_from_window(best_hi: float, best_lo: float, k_hi: int,
+                     k_lo: int) -> float:
+    """Per-application seconds from the two-point window.
+
+    A non-positive difference means link noise exceeded the window (observed
+    once on the remote link: a committed b02 row read 98 PB/s because the
+    old code clamped to 1e-12 s).  Never fabricate throughput from a broken
+    window — fall back to the whole-chain bound best_hi/k_hi, which still
+    contains the fixed dispatch/sync cost and therefore UNDER-states
+    throughput (honest direction)."""
     per = (best_hi - best_lo) / (k_hi - k_lo)
-    return max(per, 1e-12), witness
+    if per <= 0.0:
+        return best_hi / k_hi
+    return per
 
 
 def resolve_mode(cfg) -> str:
