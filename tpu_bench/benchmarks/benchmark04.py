@@ -57,9 +57,10 @@ def _xla(fn, cfg, ce=None, axis=0):
     return functools.partial(fn, precision=cfg.precision)
 
 
-def _blk4(src, nm_tot, e_pad, cap=262144):
+def _blk4(src, nm_tot, e_pad, cap=524288):
     """Wide-chunk blocked element stream, 4D (nblk, nmTot, ce/128, 128):
-    cap=262144 for the nq=2 VPU kron tier (exp_ring.py optimum), cap=
+    cap=524288 for the nq=2 VPU kron tier (same-session cap sweep,
+    artifacts/wall/nq2wall.log: 17.93 vs 17.53 GDOF/s at 256Ki), cap=
     WIDE4_CHUNK for the MXU kron_wide4 tier (exp_lo46d.py optimum)."""
     ce = bwdtrans.wide_chunk_elems(e_pad, cap)
     return src["blk"](ce).reshape(e_pad // ce, nm_tot, ce // 128, 128)

@@ -29,7 +29,9 @@ from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
 from tpu_bench.benchmarks import benchmark04 as b04_mod
 from tpu_bench.kernels import bwdtrans3d as pl_bt
-from tpu_bench.kernels.bwdtrans2d import VPU_KRON_MAX, kron_vpu_blocked
+from tpu_bench.kernels import bwdtrans2d as pl_bt2d
+from tpu_bench.kernels.bwdtrans2d import (VPU_KRON_MAX, kron_vpu_blocked,
+                                          kron_wide4)
 from tpu_bench.ops import bwdtrans, initdata
 
 
@@ -78,6 +80,15 @@ def variant_specs(data, cfg):
         ("Pallas(Coales)", _pl_noepb(kron_vpu_blocked, cfg),
          ("in_blk_wide", "c_coa3"))
         if data["basis"].nm_tot * data["basis"].nq_tot <= VPU_KRON_MAX
+        else
+        # mid order: the wide-4D blocked MXU kron, measured ahead of the
+        # flat blocked GEMM wherever its VMEM-budgeted chunk stays >= 8192
+        # elements (nq=4^3 47.4 vs 44.8, nq=6^3 59.6 vs 58.8 GDOF/s,
+        # artifacts/wall/lo3d.log); narrower chunks are unmeasured in 3D
+        # and keep the flat form (prepare gates via "in_blk_w4")
+        ("Pallas(Coales)", _pl_noepb(kron_wide4, cfg),
+         ("in_blk_w4", "c_coa3"))
+        if "in_blk_w4" in data
         else
         ("Pallas(Coales)", _pl_noepb(pl_bt.kron_blocked, cfg),
          ("in_blk", "c_coa3")),
@@ -169,6 +180,22 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
             in_blk_wide=lambda: b04_mod._blk4(src, basis.nm_tot, e_pad),
         ),
     )
+    # mid-order Coales tier gate: the wide-4D blocked MXU kron wherever its
+    # VMEM-budgeted chunk stays >= 8192 elements — the regime measured
+    # ahead of the flat blocked GEMM in 3D (nq=4^3 47.4 vs 44.8, nq=6^3
+    # 59.6 vs 58.8 GDOF/s, artifacts/wall/lo3d.log).  The 3D chunk cap is
+    # 16384, which reproduces the same-session optima (16384 at nq=4^3,
+    # 8192 at nq=6^3) exactly; the gate evaluates the cap shape-only
+    # (e_pad-independent) so the tier never flips mid-sweep.
+    W4_CAP3D = 16384
+    if (nm_tot * nq_tot > VPU_KRON_MAX
+            and bwdtrans.wide4_chunk_elems(nm_tot, nq_tot, it, 1 << 30,
+                                           W4_CAP3D) >= 8192):
+        data["ce_wide4"] = bwdtrans.wide4_chunk_elems(
+            nm_tot, nq_tot, it, e_pad, W4_CAP3D)
+        data.add_derived(
+            "in_blk_w4",
+            lambda: b04_mod._blk4(src, nm_tot, e_pad, data["ce_wide4"]))
     # XLA-tier element chunking (see benchmark04.prepare): bound the staged
     # variants' workspace residency at the largest sweep sizes
     w_cols = max(nm2 * nm1 * nq0, nm2 * nq1 * nq0)
@@ -186,12 +213,21 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
                        (in_pcoa3, data["b0"], data["c12t"])),
             cfg, e_pad, default=epb_qp)
         del in_pcoa3
-        data["epb_kron"] = at.autotune_epb(
-            "b05/kronblk", sig,
-            lambda e: (_pl_noepb(pl_bt.kron_blocked, cfg),
-                       (bwdtrans.blocked_coa(data["in_coa"], e),
-                        data["c_coa3"])),
-            cfg, e_pad, default=epb_kron)
+        if "in_blk_w4" in data:
+            data["ce_wide4"] = at.autotune_epb(
+                "b05/wide4", sig,
+                lambda ce: (_pl_noepb(kron_wide4, cfg),
+                            (b04_mod._blk4(src, nm_tot, e_pad, ce),
+                             data["c_coa3"])),
+                cfg, e_pad, candidates=(4096, 8192, 16384, 32768),
+                default=data["ce_wide4"])
+        else:
+            data["epb_kron"] = at.autotune_epb(
+                "b05/kronblk", sig,
+                lambda e: (_pl_noepb(pl_bt.kron_blocked, cfg),
+                           (bwdtrans.blocked_coa(data["in_coa"], e),
+                            data["c_coa3"])),
+                cfg, e_pad, default=epb_kron)
         data["epb_1d"] = at.autotune_epb(
             "b05/1d", sig,
             lambda e: (_pl(pl_bt.qp1d_shared3d, cfg, e),

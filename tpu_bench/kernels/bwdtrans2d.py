@@ -170,9 +170,12 @@ def kron_wide4(in_blk4, c_coa, *, interpret=False, precision=HIGHEST):
     better than a 262144-wide row), and the ce=32768 optimum lands at
     95-98% of the geometry's measured copy-probe rate across nq=4..12:
     56.1/65.0/69.8/72.5/73.6 at nq=4/6/8/10/12 vs committed round-2
-    values of 44.9/55.2/67.3/67.4/72.4.  Dimension-agnostic (3D callers
-    pass the kron3 operator).  Reference analog: the warp-interleaved
-    coalesced CUDA kernel, benchmark04/benchmark04.cc:78-147."""
+    values of 44.9/55.2/67.3/67.4/72.4.  Dimension-agnostic — in 3D it is
+    the Coales tier for the mid orders, measured same-session ahead of the
+    flat blocked GEMM (nq=4^3 47.4 vs 44.8, nq=6^3 59.6 vs 58.8 GDOF/s,
+    artifacts/wall/lo3d.log) with 3D chunk optima 16384/8192.  Reference
+    analog: the warp-interleaved coalesced CUDA kernel,
+    benchmark04/benchmark04.cc:78-147."""
     nblk, nm, cr, lanes = in_blk4.shape
     nq = c_coa.shape[0]
     out = pl.pallas_call(
@@ -194,11 +197,15 @@ def kron_wide4(in_blk4, c_coa, *, interpret=False, precision=HIGHEST):
 
 
 def _kron_vpu_kernel(nq, nm, c_ref, in_ref, out_ref):
-    for t in range(nq):
-        acc = in_ref[0, 0] * c_ref[t, 0]
-        for p in range(1, nm):
-            acc += in_ref[0, p] * c_ref[t, p]
-        out_ref[0, t] = acc.astype(out_ref.dtype)
+    # accumulate all nq output planes in vector registers, then store the
+    # whole (nq, cr, lanes) block ONCE as a stacked broadcast — nq separate
+    # tile stores leave ~2.5% on the table at the 1R:8W mix (the "C bcast
+    # store" candidate of docs/experiments/exp_nq2wall.py)
+    acc = [in_ref[0, 0] * c_ref[t, 0] for t in range(nq)]
+    for p in range(1, nm):
+        for t in range(nq):
+            acc[t] += in_ref[0, p] * c_ref[t, p]
+    out_ref[0] = jnp.stack(acc).astype(out_ref.dtype)
 
 
 def kron_vpu_blocked(in_blk4, c_coa, *, interpret=False, precision=None):
@@ -206,12 +213,15 @@ def kron_vpu_blocked(in_blk4, c_coa, *, interpret=False, precision=None):
     (Mosaic auto-pipelined) — no MXU pass: a (nqTot, nmTot) GEMM at
     nq<=4 is >90% tile padding and pays the 6-pass f32 emulation for a
     contraction that is really a streaming expansion.  Measured at b05
-    nq=2^3 nelmt=1M (v5e, HBM-honest): 17.5 GDOF/s vs 11.7 for the MXU
-    kron_blocked — on par with the best XLA tier and at 96% of the
-    chip's measured 1R:8W mix ceiling (18.26, artifacts/ceilings).  A
-    manual-DMA slot-ring version measured ~6.3 regardless of chunk
-    geometry (docs/experiments/exp_ring.py) — Mosaic's automatic block
-    pipeline wins this one, so this kernel uses it.
+    nq=2^3 nelmt=1M in ONE session with the expand8 probe that sets the
+    1R:8W mix ceiling (artifacts/wall/nq2wall.log): probe 656.4 GB/s ->
+    18.23 GDOF/s ceiling; this kernel (stacked bcast store, 512Ki chunks)
+    17.93 = 98% of it, vs 17.48 for the round-3 per-plane-store form at
+    256Ki chunks and 11.7 for the MXU kron_blocked.  A manual-DMA
+    slot-ring version measured ~6.3 regardless of chunk geometry
+    (docs/experiments/exp_ring.py), and fusing the scale into the probe's
+    own DMA ring peaked at 17.56 (exp_nq2wall.py variant D) — Mosaic's
+    automatic block pipeline wins this one, so this kernel uses it.
 
     in_blk4 is the wide-chunk blocked layout (nblk, nmTot, ce/128, 128);
     output stays blocked — norms are layout-invariant.  precision is
