@@ -42,3 +42,26 @@ def test_f32_agreement(cfg32):
     norms = [l2norm(fn(*args)) for _, fn, args in b05.build_variants(data, cfg32)]
     for label, n in zip(b05.LABELS[1:], norms[1:]):
         assert n == pytest.approx(norms[0], rel=5e-4), label
+
+
+def test_coales_tier_dispatch(cfg32, cfg64):
+    """The 3D Pallas(Coales) tier is a three-way dispatch on measured
+    regimes (artifacts/wall/{nq2wall,lo3d}.log): unrolled VPU kron at
+    nq=2^3 (nmTot*nqTot <= VPU_KRON_MAX), wide-4D blocked MXU kron where
+    its VMEM-budgeted chunk stays >= 8192 elements, flat blocked GEMM
+    beyond.  The gate is shape-only, so a column never flips kernels
+    mid-sweep."""
+    def coales_key(nq, cfg):
+        data = b05.prepare(nq, nq, nq, 128, cfg)
+        specs = b05.variant_specs(data, cfg)
+        (label, _, keys), = [s for s in specs if s[0] == "Pallas(Coales)"]
+        return keys[0]
+
+    assert coales_key(2, cfg32) == "in_blk_wide"   # VPU expansion regime
+    assert coales_key(4, cfg32) == "in_blk_w4"     # measured wide4 win
+    assert coales_key(6, cfg32) == "in_blk_w4"     # measured wide4 win
+    assert coales_key(8, cfg32) == "in_blk"        # chunk < 8192: unmeasured
+    # f64 doubles the per-element bytes: the budgeted chunk halves, so the
+    # wide4 regime shrinks (nq=6^3 drops out, nq=4^3 stays)
+    assert coales_key(4, cfg64) == "in_blk_w4"
+    assert coales_key(6, cfg64) == "in_blk"
