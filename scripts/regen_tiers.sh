@@ -19,6 +19,14 @@ stamp() { echo "# provenance: solo single-stream regen $(date -u +%FT%TZ) @$SHA$
 
 mkdir -p "$ROOT/bf16/b04" "$ROOT/bf16/b05" "$ROOT/high/b04"
 
+# high tier first (VERDICT r3 next #4 outranks the bf16 corners, #5): if
+# wall clock truncates this queue, the lower-priority sweeps are the ones
+# that drop
+log "high b04 nq32 start"
+{ stamp " precision=high (bf16x3 3-pass f32)"; timeout 7200 python -m \
+    tpu_bench.benchmarks.benchmark04 32 32 --precision high 2>&1; } \
+    > "$ROOT/high/b04/nq32x32.log"
+
 for i in 2 4 32; do
     log "bf16 b04 nq$i start"
     { stamp " dtype=bf16"; timeout 7200 python -m tpu_bench.benchmarks.benchmark04 \
@@ -29,9 +37,4 @@ for i in 2 10; do
     { stamp " dtype=bf16"; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 \
         "$i" "$i" "$i" --dtype bf16 2>&1; } > "$ROOT/bf16/b05/nq${i}x${i}x${i}.log"
 done
-
-log "high b04 nq32 start"
-{ stamp " precision=high (bf16x3 3-pass f32)"; timeout 7200 python -m \
-    tpu_bench.benchmarks.benchmark04 32 32 --precision high 2>&1; } \
-    > "$ROOT/high/b04/nq32x32.log"
 log "regen_tiers complete"
