@@ -32,6 +32,12 @@ while pgrep -f "tpu_bench.benchmarks" > /dev/null 2>&1; do sleep 10; done
 log "b04 nq2 re-run start"
 { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark04 2 2 2>&1; } \
     > "$ROOT/b04/nq2x2.log"
+# b05 nq=2's first minutes (07:29:45-~07:33Z) also overlapped the dying
+# f64 child's final failing compiles; the losing cell deserves a fully
+# clean log
+log "b05 nq2 re-run start"
+{ stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 2 2 2 2>&1; } \
+    > "$ROOT/b05/nq2x2x2.log"
 log "f64 b05 re-run start"
 { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 8 8 8 --dtype f64 --step 4 2>&1; } \
     > "$ROOT/f64/b05/nq8x8x8.log"
