@@ -38,7 +38,6 @@ log "b04 nq2 re-run start"
 log "b05 nq2 re-run start"
 { stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 2 2 2 2>&1; } \
     > "$ROOT/b05/nq2x2x2.log"
-log "f64 b05 re-run start"
-{ stamp; timeout 7200 python -m tpu_bench.benchmarks.benchmark05 8 8 8 --dtype f64 --step 4 2>&1; } \
-    > "$ROOT/f64/b05/nq8x8x8.log"
 log "regen_round4g complete"
+# The f64 b05 re-run moved to regen_round4h.sh (opportunistic, after
+# finalize): wall clock demands the committed state go clean first.
