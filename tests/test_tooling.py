@@ -179,3 +179,18 @@ def test_repair_rows_splice(tmp_path):
     assert rr.peak_sizes(rr.rows_of(str(log), "GB/s")) == [4096]
     assert rr.peak_sizes([(128, 50.0), (256, 10.0)]) == [128, 256]
     assert rr.peak_sizes([]) == []
+
+
+def test_every_committed_log_carries_provenance():
+    """Round-4 invariant (VERDICT r3 missing #1): every committed artifact
+    log states the session that produced it.  A log without a
+    `# provenance:` header is either a pre-round-3 mixed-condition run or
+    an interrupted regen — neither may ship."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    logs = glob.glob(os.path.join(root, "**", "*.log"), recursive=True)
+    assert logs, "no artifact logs found"
+    missing = [p for p in logs
+               if "# provenance:" not in open(p).read(4096)]
+    assert not missing, f"unstamped artifact logs: {sorted(missing)}"
