@@ -115,8 +115,9 @@ def build_table(artdir):
         # at 6 passes the grouped kernel is MXU-bound (~55.6); DEFAULT
         # precision runs the same kernel bus-bound at ~81 (docs/round3.md
         # §1, docs/experiments/exp_nq32c.py)
-        note = (" (at the measured 6-pass f32 MXU wall; 1-pass runs ~81 "
-                "bus-bound — docs/round3.md §1)" if nq == 32 else "")
+        note = (" (at the measured 6-pass f32 MXU wall; the committed "
+                "--precision high tier runs 80.7 bus-bound — see the tier "
+                "table and docs/round3.md §1)" if nq == 32 else "")
         row(f"b04 2D BwdTrans nq={nq}²",
             f"{artdir}/b04/nq{nq}x{nq}.log", "GDOF/s", REF[("b04", nq)],
             cap=(roofline.bwdtrans_ceiling_gdofs(r, w, nq, 2, 4)
