@@ -23,6 +23,7 @@ python "$HERE/repair_rows.py" "$ROOT"
 for n in 01 02 03; do
     python "$PP/postprocess$n.py" "$ROOT/b$n"
     python "$PP/postprocess$n.py" "$ROOT/f64/b$n" || true
+    python "$PP/postprocess$n.py" "$ROOT/bf16/b$n" || true
 done
 python "$PP/postprocess04.py" "$ROOT/b04"
 python "$PP/postprocess05.py" "$ROOT/b05"
