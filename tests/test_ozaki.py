@@ -1,0 +1,83 @@
+"""kernels/ozaki.py — exact split-mantissa f64 GEMM (interpret mode).
+
+The scheme's correctness rests on three provable properties, each asserted
+here against NumPy f64: slices are exact bf16 integers that reconstruct
+the input to ~2^-(wT+1); every slice-pair GEMM stays integer-exact in an
+f32 accumulator for the (w, T) slice_params picks; and the df2 band
+recombination keeps the end-to-end error <= ~1e-14 relative — documented
+as the tier's tolerance (native f64 would be ~1e-16)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_bench.kernels import ozaki
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape))
+
+
+@pytest.mark.parametrize("k", [1, 9, 49, 169, 343, 729, 961])
+def test_slice_params_exactness_bound(k):
+    w, t = ozaki.slice_params(k)
+    assert w * t >= 53
+    # every band sum (up to T dots of K products of two w-bit integers)
+    # stays below f32's exact-integer range
+    assert t * k * 2 ** (2 * w) < 2 ** 24
+
+
+def test_split_reconstructs():
+    x = _rand((37, 128), 0) * 3.7
+    w, t = 7, 8
+    slices, scale = ozaki.split_f64(x, w, t)
+    assert slices.dtype == jnp.bfloat16
+    # slices are integers bounded by 2^w
+    s64 = np.asarray(slices, np.float64)
+    assert np.all(s64 == np.round(s64))
+    assert np.max(np.abs(s64)) <= 2 ** w
+    rec = float(scale) * sum(
+        s64[i] * 2.0 ** (-w * (i + 1)) for i in range(t))
+    np.testing.assert_allclose(rec, np.asarray(x), rtol=0, atol=2e-16)
+
+
+def test_split_zero_and_tiny():
+    z, scale = ozaki.split_f64(jnp.zeros((4, 128)), 7, 8)
+    assert float(jnp.max(jnp.abs(z))) == 0.0
+    assert np.isfinite(float(scale))
+    x = _rand((4, 128), 1) * 1e-200
+    slices, scale = ozaki.split_f64(x, 7, 8)
+    s64 = np.asarray(slices, np.float64)
+    rec = float(scale) * sum(s64[i] * 2.0 ** (-7 * (i + 1)) for i in range(8))
+    # the guarantee is absolute: |rec - x| < scale * 2^-(wT+1) (fixed-point
+    # semantics — per-element relative error is unbounded for values far
+    # below the tensor scale, exactly like the reference's f64 subnormals)
+    assert np.max(np.abs(rec - np.asarray(x))) <= float(scale) * 2.0 ** -56
+
+
+@pytest.mark.parametrize("m,k", [(64, 49), (512, 343), (1000, 729)])
+def test_kron_ozaki_matches_numpy_f64(m, k):
+    c = _rand((m, k), 2)
+    x = _rand((k, 256), 3)
+    out = ozaki.kron_coalesced_f64(x, c, epb=128, interpret=True)
+    assert out.dtype == jnp.float64
+    ref = np.asarray(c) @ np.asarray(x)
+    rel = np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref))
+    assert rel < 5e-14, rel
+
+
+def test_kron_ozaki_on_benchmark_operator():
+    # the real b04 nq=8 operator + element stream, vs the NumPy reference
+    from tpu_bench.core.config import Config
+    from tpu_bench.benchmarks import benchmark04 as b04
+    from tpu_bench.ops import bwdtrans
+
+    cfg = Config(dtype=jnp.float64)
+    data = b04.prepare(8, 8, 256, cfg)
+    out = ozaki.kron_coalesced_f64(data["in_coa"], data["c_coa"], epb=128,
+                                   interpret=True)
+    ref = bwdtrans.reference2d(data["basis"], data["e_pad"])
+    got = float(jnp.linalg.norm(out))
+    want = float(np.linalg.norm(ref))
+    assert abs(got - want) / want < 1e-13
