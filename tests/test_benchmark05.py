@@ -61,7 +61,9 @@ def test_coales_tier_dispatch(cfg32, cfg64):
     assert coales_key(4, cfg32) == "in_blk_w4"     # measured wide4 win
     assert coales_key(6, cfg32) == "in_blk_w4"     # measured wide4 win
     assert coales_key(8, cfg32) == "in_blk"        # chunk < 8192: unmeasured
-    # f64 doubles the per-element bytes: the budgeted chunk halves, so the
-    # wide4 regime shrinks (nq=6^3 drops out, nq=4^3 stays)
-    assert coales_key(4, cfg64) == "in_blk_w4"
-    assert coales_key(6, cfg64) == "in_blk"
+    # f64: Mosaic has no float64, so every direct kernel is uncompilable —
+    # the tier dispatches the exact split-mantissa MXU form instead
+    # (kernels/ozaki.py), whose inputs are the flat coalesced stream plus
+    # the pre-split operator slices
+    assert coales_key(4, cfg64) == "in_coa"
+    assert coales_key(6, cfg64) == "in_coa"

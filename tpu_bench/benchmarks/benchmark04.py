@@ -38,6 +38,7 @@ from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
 from tpu_bench.kernels import bwdtrans2d as pl_bt
+from tpu_bench.kernels import ozaki
 from tpu_bench.ops import bwdtrans, initdata
 
 
@@ -86,6 +87,14 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em")),
+        # f64: exact split-mantissa MXU GEMMs (the only Pallas formulation
+        # Mosaic can lower without float64; kernels/ozaki.py)
+        ("Pallas(Coales)",
+         jax.jit(ozaki.coales_variant(epb=data["epb_oz"],
+                                      interpret=cfg.interpret)),
+         ("in_coa", "c_slices", "c_scale"))
+        if "c_slices" in data
+        else
         # low order (nq<=4 2D): the dense kron is a streaming expansion —
         # unrolled VPU FMAs instead of a padded MXU GEMM
         # (pl_bt.kron_vpu_blocked)
@@ -216,6 +225,18 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     data["xla_ce"] = bwdtrans.choose_xla_chunk(
         (nm_tot + 2 * nq_tot) * e_pad * it, w_cols * it, e_pad,
         cfg.mem_cap_bytes)
+    if cfg.dtype == jnp.float64:
+        # f64 Coales tier: exact split-mantissa MXU GEMMs (kernels/ozaki.py)
+        # — Mosaic has no float64, so the direct kernels cannot compile;
+        # the operator's split is untimed setup like every basis operator
+        w_oz, t_oz = ozaki.slice_params(nm_tot)
+        c_sl, c_sc = ozaki.split_f64(data["c_coa"], w_oz, t_oz)
+        data["c_slices"], data["c_scale"] = c_sl, c_sc
+        # VMEM/elt: double-buffered slice stream (bf16) + the (hi, lo)
+        # f32 output pair, operator slices resident
+        data["epb_oz"] = bwdtrans.choose_epb(
+            4 * t_oz * nm_tot + 16 * nq_tot, e_pad, cfg.epb,
+            max(budget - 2 * c_sl.size * 2, 1 << 20))
     # nq=32-class QP/Shared tier: G-grouped block-diagonal MXU kernel
     # (qp_mxu_grouped).  Only at nq_tot >= 1024: measured at nq=16/14 the
     # v-first hybrid still wins (64.5/63.4 vs 47.8/40.0 GDOF/s,

@@ -30,6 +30,7 @@ from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
 from tpu_bench.benchmarks import benchmark04 as b04_mod
 from tpu_bench.kernels import bwdtrans3d as pl_bt
 from tpu_bench.kernels import bwdtrans2d as pl_bt2d
+from tpu_bench.kernels import ozaki
 from tpu_bench.kernels.bwdtrans2d import (VPU_KRON_MAX, kron_vpu_blocked,
                                           kron_wide4)
 from tpu_bench.ops import bwdtrans, initdata
@@ -75,6 +76,14 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa3")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em3")),
+        # f64: exact split-mantissa MXU GEMMs (the only Pallas formulation
+        # Mosaic can lower without float64; kernels/ozaki.py)
+        ("Pallas(Coales)",
+         jax.jit(ozaki.coales_variant(epb=data["epb_oz"],
+                                      interpret=cfg.interpret)),
+         ("in_coa", "c_slices", "c_scale"))
+        if "c_slices" in data
+        else
         # low order (nq=2^3): 1R:8W streaming expansion — unrolled VPU
         # FMAs instead of a padded MXU GEMM (see benchmark04.variant_specs)
         ("Pallas(Coales)", _pl_noepb(kron_vpu_blocked, cfg),
@@ -202,6 +211,16 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     data["xla_ce"] = bwdtrans.choose_xla_chunk(
         (nm_tot + 2 * nq_tot) * e_pad * it, w_cols * it, e_pad,
         cfg.mem_cap_bytes)
+    if cfg.dtype == jnp.float64:
+        # f64 Coales tier: exact split-mantissa MXU GEMMs (kernels/ozaki.py;
+        # see benchmark04.prepare) — the 3D contraction depth (nm_tot up to
+        # 729 at nq=10^3) picks narrower slices via slice_params
+        w_oz, t_oz = ozaki.slice_params(nm_tot)
+        c_sl, c_sc = ozaki.split_f64(data["c_coa3"], w_oz, t_oz)
+        data["c_slices"], data["c_scale"] = c_sl, c_sc
+        data["epb_oz"] = bwdtrans.choose_epb(
+            4 * t_oz * nm_tot + 16 * nq_tot, e_pad, cfg.epb,
+            max(budget - 2 * c_sl.size * 2, 1 << 20))
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 
