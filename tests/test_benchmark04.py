@@ -74,9 +74,13 @@ def test_golden_norm_nq8(cfg64):
     assert l2norm(fn(*args)) == pytest.approx(29.12205853, rel=1e-8)
 
 
-def test_f32_agreement(cfg32):
+@pytest.mark.parametrize("nq", [2, 6, 11])
+def test_f32_agreement(nq, cfg32):
+    """Covers every f32 Coales/QP-ladder regime (the f64 oracle tests now
+    dispatch ozaki at the Coales slot): nq=2 VPU kron, nq=6 wide-4D MXU
+    kron + qp_shared, nq=11 the qp_w mid-order tier."""
     nelmt = 256
-    data = b04.prepare(6, 6, nelmt, cfg32)
+    data = b04.prepare(nq, nq, nelmt, cfg32)
     norms = []
     for label, fn, args in b04.build_variants(data, cfg32):
         norms.append(l2norm(fn(*args)))

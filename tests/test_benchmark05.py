@@ -37,8 +37,12 @@ def test_golden_norm_nq8(cfg64):
     assert l2norm(fn(*args)) == pytest.approx(189.3141665, rel=1e-8)
 
 
-def test_f32_agreement(cfg32):
-    data = b05.prepare(4, 4, 4, 256, cfg32)
+@pytest.mark.parametrize("nq", [2, 4, 8])
+def test_f32_agreement(nq, cfg32):
+    """Covers every f32 Coales-ladder regime (the f64 oracle tests now
+    dispatch ozaki there): nq=2 VPU kron, nq=4 wide-4D MXU kron, nq=8
+    flat blocked kron + the fused QP kernels."""
+    data = b05.prepare(nq, nq, nq, 256, cfg32)
     norms = [l2norm(fn(*args)) for _, fn, args in b05.build_variants(data, cfg32)]
     for label, n in zip(b05.LABELS[1:], norms[1:]):
         assert n == pytest.approx(norms[0], rel=5e-4), label
