@@ -50,14 +50,22 @@ def _qp_fused_kernel3d(nm0, nq0, precision, c12t_ref, b0_ref, in_ref,
     # vs accumulating planes (read-modify-write of the nqTot-sized output
     # block per p) this halves on-chip traffic: measured 66 vs 58 GDOF/s
     # at nq=8^3 on v5e.
+    #
+    # v accumulates in acc_dtype (f32): a no-op for the f32 tier, and the
+    # measured unit-wall fix for bf16 — the bf16-native combine runs the
+    # VPU at ~95% of its FMA peak while the MXU idles (97.2 GDOF/s at
+    # nq=10^3), whereas converting each plane on read and accumulating in
+    # f32 vregs runs 134.8 at 29x lower rel-err (artifacts/wall/
+    # bf16nq10.log; round4.md §8).  v narrows back to the input dtype
+    # before the dot so the MXU pass stays native (bf16 in, f32 acc).
     idt = in_ref.dtype
+    adt = common.acc_dtype(idt)
     for i in range(nq0):
-        # keep v in the input dtype so the MXU dot stays native (bf16 in,
-        # f32 acc); the SMEM basis scalar is f32 and narrows per plane
-        v = in_ref[0] * b0_ref[0, i].astype(idt)
+        v = in_ref[0].astype(adt) * b0_ref[0, i].astype(adt)
         for p in range(1, nm0):
-            v += in_ref[p] * b0_ref[p, i].astype(idt)
-        out_ref[i] = _dot(c12t_ref[:], v, precision).astype(out_ref.dtype)
+            v += in_ref[p].astype(adt) * b0_ref[p, i].astype(adt)
+        out_ref[i] = _dot(c12t_ref[:], v.astype(idt),
+                          precision).astype(out_ref.dtype)
 
 
 def qp_shared3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
