@@ -71,3 +71,28 @@ def test_coales_tier_dispatch(cfg32, cfg64):
     # the pre-split operator slices
     assert coales_key(4, cfg64) == "in_coa"
     assert coales_key(6, cfg64) == "in_coa"
+
+
+def test_bf16_f32v_accuracy():
+    """The fused QP kernel accumulates its v combine in f32 vregs (the
+    measured bf16 unit-wall fix, round4.md par. 8): with bf16 inputs the
+    only rounding left in the combine is the per-plane input cast, so
+    the norm error vs the f64 oracle stays well inside the single-cast
+    bf16 bound.  Locks the acc-dtype semantics against regression to a
+    bf16-native combine: measured in interpret mode at this shape the
+    f32v error is 2.9e-4 vs 9.7e-4 native, so the 5e-4 bound fails the
+    old semantics with margin (on chip the gap was 29x)."""
+    import jax.numpy as jnp
+
+    from tpu_bench.core.config import Config
+    from tpu_bench.kernels import bwdtrans3d as pl_bt
+
+    cfg = Config(dtype=jnp.bfloat16, n_tests=2)
+    nq, nelmt = 6, 256
+    data = b05.prepare(nq, nq, nq, nelmt, cfg)
+    ref_norm = float(np.linalg.norm(bwdtrans.reference3d(data["basis"],
+                                                         nelmt)))
+    out = pl_bt.qp_shared3d(data["in_pcoa3"], data["b0"], data["c12t"],
+                            epb=128, interpret=True,
+                            precision=cfg.precision)
+    assert l2norm(out) == pytest.approx(ref_norm, rel=5e-4)
