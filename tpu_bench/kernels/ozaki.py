@@ -10,8 +10,8 @@ split-mantissa ("Ozaki scheme") decomposition:
   1. **Split** (XLA, f64 elementwise, timed): x = s * sum_t v_t 2^(-w(t+1))
      where s is a power-of-two per-tensor scale and each slice v_t is a
      signed INTEGER with |v_t| <= 2^w — exactly representable in bf16's
-     8 explicit mantissa bits for w <= 8.  T slices cover wT mantissa
-     bits (w=7,T=8 -> 56 >= 53).
+     8 significant mantissa bits (7 explicit + implicit) for w <= 7.
+     T slices cover wT mantissa bits (w=7,T=8 -> 56 >= 53).
   2. **Multiply** (Pallas, MXU): every pair dot(a_s, x_t) is a native
      1-pass bf16 GEMM whose f32 accumulator is EXACT, because the partial
      sums are integers bounded by K 2^(2w) <= 2^24 (w chosen per K).
