@@ -4,6 +4,9 @@
 # committed f64 tier gains its first working Pallas column.  Launch ONLY
 # after artifacts/wall/f64ozaki.log confirms the kernel compiles and
 # beats the XLA f64 path on the chip.
+# OUTCOME (2026-08-18, round4.md §9): the gate FAILED — the remote
+# compile helper rejects every Pallas program under jax_enable_x64, so
+# this stage was never run.  Do not launch it on this toolchain.
 # Usage: scripts/regen_round4n.sh [artifact root] [pid-to-wait-for]
 set -u
 ROOT=${1:-artifacts}
