@@ -126,6 +126,10 @@ def main():
         ("G14 stream (13,13)->(14,14)", (13, 13, 14, 14)),
         ("G16 stream (15,15)->(16,16)", (15, 15, 16, 16)),
         ("A16 stream (16,16)->(16,16)", (16, 16, 16, 16)),
+        # the other odd-row sweep geometries: does the tax hit them too?
+        ("G06 stream ( 5, 5)->( 6, 6)", (5, 5, 6, 6)),
+        ("G10 stream ( 9, 9)->(10,10)", (9, 9, 10, 10)),
+        ("G12 stream (11,11)->(12,12)", (11, 11, 12, 12)),
     ):
         in_arr = jax.block_until_ready(
             jnp.ones((ri, ci, nelmt), jnp.float32))
