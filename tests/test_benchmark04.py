@@ -145,3 +145,19 @@ def test_bf16_agreement():
     norms = [l2norm(fn(*args)) for _, fn, args in b04.build_variants(data, cfg)]
     for label, n in zip(b04.LABELS[1:], norms[1:]):
         assert n == pytest.approx(norms[0], rel=5e-2), label
+
+
+def test_qp_w_flat_gate(cfg32, cfg64):
+    """The QP/Shared mid-order slot dispatches the flat-block qp_w where
+    the measured plane-occupancy map says the per-plane DMA tax binds
+    (artifacts/wall/nq14{c,d}.log): f32 nq=14 -> flat (occupancy 13/16),
+    nq=16 -> plane (15/16, tax-free), f64 -> plane (unmeasured tier)."""
+    def qp_key(nq, cfg):
+        data = b04.prepare(nq, nq, 128, cfg)
+        (label, _, keys), = [s for s in b04.variant_specs(data, cfg)
+                             if s[0] == "Pallas(QP/Shared)"]
+        return keys[0]
+
+    assert qp_key(14, cfg32) == "in_coa"
+    assert qp_key(16, cfg32) == "in_pcoa3"
+    assert qp_key(14, cfg64) == "in_pcoa3"

@@ -116,6 +116,19 @@ def variant_specs(data, cfg):
              interpret=cfg.interpret, precision=cfg.precision)),
          ("in_g3", "s1g", "s2g"))
         if "s1g" in data else
+        # mid-order, low plane-tile occupancy: flat-block qp_w — same
+        # bytes DMA'd as (nmTot, epb)/(nqTot, epb) flat blocks, dodging
+        # the measured per-plane padded-tile tax (exp_nq14c/d.py:
+        # nq=14 72.99 vs 65.79 GDOF/s; gate mirrors the occupancy map)
+        ("Pallas(QP/Shared)",
+         jax.jit(functools.partial(
+             pl_bt.qp_w_flat, nm1=data["basis"].nm1,
+             nq1=data["basis"].nq1, epb=data["epb_qpf"],
+             interpret=cfg.interpret, precision=cfg.precision)),
+         ("in_coa", "b0", "b1tp"))
+        if (data["basis"].nq_tot >= 100 and cfg.itemsize == 4
+            and min(pl_bt.plane_occupancy(data["basis"].nm1),
+                    pl_bt.plane_occupancy(data["basis"].nq1)) < 0.9) else
         # mid-order (100 <= nqTot < 1024): stage-1-upfront + vreg stage-2
         # (qp_w) — fixes the nq=14/16 VMEM-RMW stall, exp_nq1416d.py
         ("Pallas(QP/Shared)",
@@ -212,6 +225,12 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         ),
     )
     data["epb_qp"] = epb
+    # flat-block qp_w tier: same per-element bytes but ~15% less VMEM
+    # padding than the plane form; measured through 2x epb (exp_nq14d.py:
+    # 73.0 @4096 vs 71.4 @2048 at nq=14) — double unless the user pinned
+    # epb or the doubled block no longer divides the padded sweep size
+    data["epb_qpf"] = (epb if cfg.epb is not None or e_pad % (2 * epb)
+                       else 2 * epb)
     data["epb_kron"] = epb_kron
     data["ce_wide4"] = bwdtrans.wide4_chunk_elems(
         basis.nm_tot, basis.nq_tot, cfg.itemsize, e_pad, pl_bt.WIDE4_CHUNK)

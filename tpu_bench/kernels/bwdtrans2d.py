@@ -359,6 +359,70 @@ def qp_w(in_pcoa3, b0, b1tp, *, nq1, epb, interpret=False,
     return out
 
 
+def _qp_w_flat_kernel(nm0, nm1, nq0, nq1, precision, b1t_ref, b0_ref,
+                      in_ref, out_ref, w_ref):
+    odt = out_ref.dtype
+    # stage 1 off unaligned flat slices; the w scratch stays tile-aligned
+    for p in range(nm0):
+        w_ref[p] = _dot(b1t_ref[:], in_ref[nm1 * p:nm1 * (p + 1)],
+                        precision).astype(w_ref.dtype)
+    # stage 2 in vregs; each output plane stored once at its flat offset
+    for i in range(nq0):
+        acc = w_ref[0] * b0_ref[0, i]
+        for p in range(1, nm0):
+            acc += w_ref[p] * b0_ref[p, i]
+        out_ref[nq1 * i:nq1 * (i + 1)] = acc[:nq1].astype(odt)
+
+
+def qp_w_flat(in_coa, b0, b1tp, *, nm1, nq1, epb, interpret=False,
+              precision=HIGHEST):
+    """qp_w over FLAT HBM blocks: the low-plane-occupancy dispatch.
+
+    Per-plane DMA of (nm1, epb)/(nq1, epb) tiles moves padded 8-sublane
+    tiles, so effective HBM bandwidth scales with last-tile occupancy —
+    measured 62-88% across the odd orders for a pure stream with no
+    contraction at all (exp_nq14c.py, artifacts/wall/nq14c.log).  This
+    variant streams the SAME bytes as flat (nmTot, epb)/(nqTot, epb)
+    blocks (96/98% occupancy at nq=14) and moves the plane slicing
+    in-kernel, where Mosaic's unaligned-sublane copies are nearly free:
+    measured nq=14 72.99 GDOF/s vs 65.79 for the plane form (95.5% of
+    the aligned-stream mix ceiling), while the tax-free nq=16 control
+    ties (74.60 vs 74.62) — exp_nq14d.py, artifacts/wall/nq14d.log.
+    Dispatched for the qp_w regime when min plane occupancy < 0.9 (f32).
+    Reference analog: the all-shared QP quad kernel,
+    benchmark04/benchmark04.cc:206-300."""
+    b0 = b0.astype(common.acc_dtype(in_coa.dtype))  # SMEM is 32-bit
+    nm_tot, e = in_coa.shape
+    nm0 = nm_tot // nm1
+    nq0 = b0.shape[1]
+    nq1p = b1tp.shape[0]
+    nq_tot = nq0 * nq1
+    grid = (e // epb,)
+    return pl.pallas_call(
+        functools.partial(_qp_w_flat_kernel, nm0, nm1, nq0, nq1, precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq1p, nm1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nm_tot, epb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq_tot, epb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq_tot, e), in_coa.dtype),
+        scratch_shapes=[pltpu.VMEM((nm0, nq1p, epb), in_coa.dtype)],
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(b1tp, b0, in_coa)
+
+
+def plane_occupancy(rows: int) -> float:
+    """Last-tile sublane occupancy of an r-row f32 plane: the measured
+    per-plane DMA efficiency factor (artifacts/wall/nq14c.log)."""
+    return rows / ((rows + 7) // 8 * 8)
+
+
 def _stage1_kernel(nm0, precision, b1t_ref, in_ref, w_ref):
     # contract the q modes per p mode: w[p] = B1T @ in[p]
     for p in range(nm0):
