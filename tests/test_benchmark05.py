@@ -96,3 +96,29 @@ def test_bf16_f32v_accuracy():
                             epb=128, interpret=True,
                             precision=cfg.precision)
     assert l2norm(out) == pytest.approx(ref_norm, rel=5e-4)
+
+
+@pytest.mark.parametrize("nq,dtype", [(4, "float32"), (8, "float32"),
+                                      (6, "bfloat16")])
+def test_qp_shared3d_flat_bit_exact(nq, dtype):
+    """qp_shared3d_flat is the same v-first math as qp_shared3d off flat
+    (nm0*nrq, E) blocks (in-kernel plane slicing removes the per-plane
+    DMA occupancy tax, exp_flat3d.py) — outputs must agree bit-for-bit."""
+    import jax.numpy as jnp
+
+    from tpu_bench.core.config import Config
+    from tpu_bench.kernels import bwdtrans3d as pl_bt
+
+    cfg = Config(dtype=jnp.dtype(dtype), n_tests=2)
+    data = b05.prepare(nq, nq, nq, 256, cfg)
+    basis = data["basis"]
+    nrq = basis.nm2 * basis.nm1
+    ref = pl_bt.qp_shared3d(data["in_pcoa3"], data["b0"], data["c12t"],
+                            epb=128, interpret=True,
+                            precision=cfg.precision)
+    flat = pl_bt.qp_shared3d_flat(
+        data["in_pcoa3"].reshape(basis.nm0 * nrq, -1), data["b0"],
+        data["c12t"], nrq=nrq, epb=128, interpret=True,
+        precision=cfg.precision)
+    np.testing.assert_array_equal(
+        np.asarray(ref).reshape(flat.shape), np.asarray(flat))

@@ -97,6 +97,65 @@ def qp_shared3d(in_pcoa3, b0, c12t, *, epb, interpret=False,
     return out
 
 
+def _qp_fused_flat_kernel3d(nm0, nrq, nq0, nkj, precision, c12t_ref, b0_ref,
+                            in_ref, out_ref):
+    # same v-first math as _qp_fused_kernel3d, off unaligned flat slices
+    idt = in_ref.dtype
+    adt = common.acc_dtype(idt)
+    for i in range(nq0):
+        v = in_ref[0:nrq].astype(adt) * b0_ref[0, i].astype(adt)
+        for p in range(1, nm0):
+            v += (in_ref[nrq * p:nrq * (p + 1)].astype(adt)
+                  * b0_ref[p, i].astype(adt))
+        out_ref[nkj * i:nkj * (i + 1)] = _dot(
+            c12t_ref[:], v.astype(idt), precision).astype(out_ref.dtype)
+
+
+def qp_shared3d_flat(in_pflat, b0, c12t, *, nrq, epb, interpret=False,
+                     precision=HIGHEST):
+    """qp_shared3d over FLAT HBM blocks — the 3D analog of the 2D
+    qp_w_flat dispatch (kernels/bwdtrans2d.py): per-plane DMA of
+    (nrq, epb)/(nkj, epb) tiles moves padded 8-sublane tiles, so the 3D
+    QP kernels pay the measured plane-occupancy tax on every order whose
+    nm2*nm1 / nq2*nq1 plane rows are not multiples of 8 — at nq=8^3 the
+    input planes are 49 rows (87.5% of the 56-row padded tile), at
+    nq=10^3 81 rows (92.0%).  This variant streams the SAME bytes as flat
+    (nm0*nrq, epb) -> (nq0*nkj, epb) blocks (99.7/100% occupancy at
+    nq=8^3) and slices the p planes in-kernel, where Mosaic's
+    unaligned-sublane copies are nearly free (exp_nq14d.py measured the
+    2D trade at <1% on the tax-free control order).
+
+    in_pflat is the p-major coalesced stream flattened 2D:
+    pcoa3.reshape(nm0*nrq, E), row index p*nrq + r — the same HBM bytes
+    as the pcoa3 layout, so builders share it.  Output is the i-major
+    flat (nq0*nkj, E); norms are layout-invariant.  Reference analog:
+    the all-shared QP hex kernel, benchmark05/benchmark05.cc:291-429."""
+    b0 = b0.astype(common.acc_dtype(in_pflat.dtype))  # SMEM is 32-bit
+    nm_tot, e = in_pflat.shape
+    nm0 = nm_tot // nrq
+    nq0 = b0.shape[1]
+    nkj = c12t.shape[0]
+    nq_tot = nq0 * nkj
+    grid = (e // epb,)
+    return pl.pallas_call(
+        functools.partial(_qp_fused_flat_kernel3d, nm0, nrq, nq0, nkj,
+                          precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nkj, nrq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nm_tot, epb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq_tot, epb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq_tot, e), in_pflat.dtype),
+        interpret=interpret,
+        **_parallel_params(interpret),
+    )(c12t, b0, in_pflat)
+
+
 def _stage1_kernel3d(nm0, precision, c12t_ref, in_ref, w_ref):
     # contract the (r, q) pair per p mode: w[p] = C12T @ in[p]
     for p in range(nm0):

@@ -306,7 +306,10 @@ def expand_manual(x, m: int, bias=None, *, chunk_bytes: int = CHUNK_BYTES,
     cr = _chunk_rows(rows, x2.dtype.itemsize, chunk_bytes, depth)
     if bias is None:
         bias = jnp.zeros((1, 1), x2.dtype)
-    ring = depth * cr * common.LANES * x2.dtype.itemsize
+    # one extra chunk of slack beyond the slot ring: the bias-add staging
+    # for sub-32-bit dtypes allocates ~chunk/2 more (measured bf16 overflow
+    # vs the ring+1MB limit: +chunk/2-0.15MB at both 8 and 16 MB chunks)
+    ring = (depth + 1) * cr * common.LANES * x2.dtype.itemsize
     return pl.pallas_call(
         functools.partial(_expand_manual_kernel, rows, cr, depth, m),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
