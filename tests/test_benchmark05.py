@@ -122,3 +122,22 @@ def test_qp_shared3d_flat_bit_exact(nq, dtype):
         precision=cfg.precision)
     np.testing.assert_array_equal(
         np.asarray(ref).reshape(flat.shape), np.asarray(flat))
+
+
+def test_qp_shared_tier_dispatch(cfg32, cfg64):
+    """The f32 QP/Shared tier dispatches the flat-block kernel wherever a
+    plane pays the measured sublane-padding tax inside the measured band
+    (artifacts/wall/flat3d.log: nq=6^3/8^3/10^3 all win; nq=2^3/4^3 planes
+    are too short to amortize the in-kernel slices and keep the plane
+    form, as do non-f32 dtypes)."""
+    def qp_key(nq, cfg):
+        data = b05.prepare(nq, nq, nq, 128, cfg)
+        specs = b05.variant_specs(data, cfg)
+        (_, _, keys), = [s for s in specs if s[0] == "Pallas(QP/Shared)"]
+        return keys[0]
+
+    assert qp_key(6, cfg32) == "in_pflat"
+    assert qp_key(8, cfg32) == "in_pflat"
+    assert qp_key(10, cfg32) == "in_pflat"
+    assert qp_key(4, cfg32) == "in_pcoa3"   # below the measured band
+    assert qp_key(8, cfg64) == "in_pcoa3"   # non-f32: unmeasured

@@ -103,6 +103,20 @@ def variant_specs(data, cfg):
          ("in_blk", "c_coa3")),
         ("Pallas(QP)", _pl(pl_bt.qp_global3d, cfg, data["epb_qp"]),
          ("in_pcoa3", "b0", "c12t")),
+        # low plane-tile occupancy (f32): flat-block fused QP — the same
+        # HBM bytes DMA'd as (nmTot, epb)/(nqTot, epb) blocks, dodging the
+        # measured per-plane sublane-padding tax (exp_flat3d.py: nq=8^3
+        # 63.6->66.4, nq=10^3 67.0->71.2 GDOF/s; gate IS the occupancy map)
+        ("Pallas(QP/Shared)",
+         jax.jit(functools.partial(
+             pl_bt.qp_shared3d_flat,
+             nrq=data["basis"].nm2 * data["basis"].nm1,
+             epb=data["epb_qp"], interpret=cfg.interpret,
+             precision=cfg.precision)),
+         ("in_pflat", "b0", "c12t"))
+        if pl_bt.flat_qp_gate(data["basis"].nm2 * data["basis"].nm1,
+                              data["c12t"].shape[0], cfg.itemsize)
+        else
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared3d, cfg, data["epb_qp"]),
          ("in_pcoa3", "b0", "c12t")),
         ("Pallas(QP-1D)", _pl(pl_bt.qp1d_global3d, cfg, data["epb_1d"]),
@@ -182,6 +196,9 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
             in_coa4=lambda: src["coa"]().reshape(nm2, nm1, nm0, e_pad),
             # p-major coalesced layout for the hybrid MXU/VPU QP kernels
             in_pcoa3=src["pcoa3"],
+            # the same HBM bytes flattened (nmTot, E) for the flat-block
+            # fused QP kernel (reshape of the contiguous pcoa3 stream)
+            in_pflat=lambda: src["pcoa3"]().reshape(nm_tot, e_pad),
             # chunk-interleaved coalesced layout (contiguous per-block HBM
             # chunks); chunk width = the kron tier's tuned epb
             in_blk=lambda: src["blk"](data["epb_kron"]),
@@ -225,13 +242,26 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
         from tpu_bench.core import autotune as at
 
         sig = f"nq{nq0}x{nq1}x{nq2}/e{at.e_pad_class(e_pad)}"
-        in_pcoa3 = data["in_pcoa3"]
-        data["epb_qp"] = at.autotune_epb(
-            "b05/qp", sig,
-            lambda e: (_pl(pl_bt.qp_shared3d, cfg, e),
-                       (in_pcoa3, data["b0"], data["c12t"])),
-            cfg, e_pad, default=epb_qp)
-        del in_pcoa3
+        nrq = basis.nm2 * basis.nm1
+        if pl_bt.flat_qp_gate(nrq, c12t.shape[0], cfg.itemsize):
+            # tune the kernel the dispatch will actually run
+            in_pflat = data["in_pflat"]
+            data["epb_qp"] = at.autotune_epb(
+                "b05/qpf", sig,
+                lambda e: (jax.jit(functools.partial(
+                    pl_bt.qp_shared3d_flat, nrq=nrq, epb=e,
+                    interpret=cfg.interpret, precision=cfg.precision)),
+                           (in_pflat, data["b0"], data["c12t"])),
+                cfg, e_pad, default=epb_qp)
+            del in_pflat
+        else:
+            in_pcoa3 = data["in_pcoa3"]
+            data["epb_qp"] = at.autotune_epb(
+                "b05/qp", sig,
+                lambda e: (_pl(pl_bt.qp_shared3d, cfg, e),
+                           (in_pcoa3, data["b0"], data["c12t"])),
+                cfg, e_pad, default=epb_qp)
+            del in_pcoa3
         if "in_blk_w4" in data:
             data["ce_wide4"] = at.autotune_epb(
                 "b05/wide4", sig,

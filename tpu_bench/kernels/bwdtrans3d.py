@@ -33,9 +33,26 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_bench.kernels import common
 from tpu_bench.kernels.bwdtrans2d import (_dot, _parallel_params,
                                           kron_blocked, kron_coalesced,
-                                          kron_elem_major, _one_stage_em)
+                                          kron_elem_major, _one_stage_em,
+                                          plane_occupancy)
 
 HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def flat_qp_gate(nrq: int, nkj: int, itemsize: int) -> bool:
+    """Dispatch gate for qp_shared3d_flat: flat blocks whenever either the
+    input (nrq = nm2*nm1 rows) or output (nkj = nq2*nq1 rows) plane pays a
+    measurable sublane-padding tax.  Measured f32 (artifacts/wall/
+    flat3d.log, same-session epb sweeps): flat wins at every swept order —
+    nq=6^3 48.2->52.8 (min occ 0.781), nq=8^3 63.6->66.4 (0.875), nq=10^3
+    67.0->71.2 (0.920) — so the gate admits every occupancy below the
+    0.95 tile-aligned band within the measured plane-height range
+    (nrq >= 25; the in-kernel unaligned slice cost was measured <1% there
+    but is unamortized for the 1..9-row planes of nq=2^3/4^3, which keep
+    the plane form).  bf16 (16-row sublane tiles) is unmeasured and keeps
+    the plane form."""
+    return (itemsize == 4 and nrq >= 25
+            and min(plane_occupancy(nrq), plane_occupancy(nkj)) < 0.95)
 
 
 # ---- coalesced layout: (nm0, nm2*nm1, E) -> (nq0, nq2*nq1, E) -----------
