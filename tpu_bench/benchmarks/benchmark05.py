@@ -114,8 +114,7 @@ def variant_specs(data, cfg):
              epb=data["epb_qp"], interpret=cfg.interpret,
              precision=cfg.precision)),
          ("in_pflat", "b0", "c12t"))
-        if pl_bt.flat_qp_gate(data["basis"].nm2 * data["basis"].nm1,
-                              data["c12t"].shape[0], cfg.itemsize)
+        if data["qp_flat"]
         else
         ("Pallas(QP/Shared)", _pl(pl_bt.qp_shared3d, cfg, data["epb_qp"]),
          ("in_pcoa3", "b0", "c12t")),
@@ -228,6 +227,10 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     data["xla_ce"] = bwdtrans.choose_xla_chunk(
         (nm_tot + 2 * nq_tot) * e_pad * it, w_cols * it, e_pad,
         cfg.mem_cap_bytes)
+    # QP/Shared dispatch gate, evaluated ONCE so variant_specs and the
+    # autotune branch can never tune different kernels (ADVICE r4)
+    data["qp_flat"] = pl_bt.flat_qp_gate(nm2 * nm1, c12t.shape[0],
+                                         cfg.itemsize)
     if cfg.dtype == jnp.float64:
         # f64 Coales tier: exact split-mantissa MXU GEMMs (kernels/ozaki.py;
         # see benchmark04.prepare) — the 3D contraction depth (nm_tot up to
@@ -243,7 +246,7 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
 
         sig = f"nq{nq0}x{nq1}x{nq2}/e{at.e_pad_class(e_pad)}"
         nrq = basis.nm2 * basis.nm1
-        if pl_bt.flat_qp_gate(nrq, c12t.shape[0], cfg.itemsize):
+        if data["qp_flat"]:
             # tune the kernel the dispatch will actually run
             in_pflat = data["in_pflat"]
             data["epb_qp"] = at.autotune_epb(

@@ -46,12 +46,18 @@ def flat_qp_gate(nrq: int, nkj: int, itemsize: int) -> bool:
     flat3d.log, same-session epb sweeps): flat wins at every swept order —
     nq=6^3 48.2->52.8 (min occ 0.781), nq=8^3 63.6->66.4 (0.875), nq=10^3
     67.0->71.2 (0.920) — so the gate admits every occupancy below the
-    0.95 tile-aligned band within the measured plane-height range
-    (nrq >= 25; the in-kernel unaligned slice cost was measured <1% there
-    but is unamortized for the 1..9-row planes of nq=2^3/4^3, which keep
-    the plane form).  bf16 (16-row sublane tiles) is unmeasured and keeps
-    the plane form."""
-    return (itemsize == 4 and nrq >= 25
+    0.95 tile-aligned band within the measured plane-height band
+    25 <= nrq <= 81 (nq=6^3..10^3).  Outside the band the incumbent plane
+    form keeps the dispatch: the 1..9-row planes of nq=2^3/4^3 leave the
+    in-kernel unaligned-slice cost unamortized, and orders above nq=10^3
+    are unmeasured (ADVICE r4: no silent extrapolation).  bf16 (16-row
+    sublane tiles) is MEASURED to prefer the plane form at both swept
+    orders — nq=8^3 126.5 vs 124.2, nq=10^3 133.7 vs 109.3 GDOF/s
+    (artifacts/wall/flat3dbf16.log): the bf16-native MXU pass leaves the
+    kernel compute-side enough that the flat form's in-kernel unaligned
+    slices cost more than the plane-DMA tax they dodge — so itemsize == 4
+    stays the dtype gate, now on data."""
+    return (itemsize == 4 and 25 <= nrq <= 81
             and min(plane_occupancy(nrq), plane_occupancy(nkj)) < 0.95)
 
 
