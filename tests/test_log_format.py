@@ -44,3 +44,40 @@ def test_postprocess_runs(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "outfile.png").exists()
+
+
+# ---- the SURVEY §5.5 north-star: the reference's OWN postprocess scripts,
+# copied verbatim, must turn our committed logs into plots -----------------
+
+import shutil
+
+import pytest
+
+REFERENCE = "/root/reference"
+
+_REF_CASES = [
+    # (reference script, committed repo log, expected png stem)
+    ("benchmark01/postprocess.py", "artifacts/b01/outfile.log", "outfile"),
+    ("benchmark02/postprocess.py", "artifacts/b02/outfile.log", "outfile"),
+    ("benchmark03/postprocess.py", "artifacts/b03/outfile.log", "outfile"),
+    ("benchmark04/postprocess.py", "artifacts/b04/nq8x8.log", "nq8x8"),
+    ("benchmark05/postprocess.py", "artifacts/b05/nq8x8x8.log", "nq8x8x8"),
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference checkout not present")
+@pytest.mark.parametrize("script,log,stem", _REF_CASES)
+def test_reference_postprocess_unchanged(tmp_path, script, log, stem):
+    """Copy the reference's postprocess.py VERBATIM next to a committed repo
+    log and run it: a .png must appear.  This is the byte-compatibility
+    contract SURVEY.md §5.5 names as the north-star ('so the five
+    postprocess.py scripts run unchanged'; reference parsing contract at
+    benchmark04/postprocess.py:10-27)."""
+    shutil.copy(os.path.join(REFERENCE, script), tmp_path / "postprocess.py")
+    shutil.copy(os.path.join(REPO, log), tmp_path / (stem + ".log"))
+    env = dict(os.environ, MPLBACKEND="Agg", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "postprocess.py"], cwd=tmp_path,
+                       capture_output=True, text=True, timeout=180, env=env)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / (stem + ".png")).exists()
