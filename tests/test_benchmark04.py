@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from tpu_bench.benchmarks import benchmark04 as b04
-from tpu_bench.core.validate import l2norm
+from tpu_bench.core.validate import l2norm, variant_norm
 from tpu_bench.ops import bwdtrans
 
 
@@ -17,7 +17,8 @@ def test_variants_match_oracle(nq, cfg64):
     ref_norm = float(np.linalg.norm(ref))
     for label, fn, args in b04.build_variants(data, cfg64):
         out = fn(*args)
-        assert l2norm(out) == pytest.approx(ref_norm, rel=1e-10), label
+        assert variant_norm(out, data) == pytest.approx(
+            ref_norm, rel=1e-10), label
         # shape-aware value check for the element-major einsum tier
         if label == "XLA(Uncoales)":
             np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
@@ -33,8 +34,8 @@ def test_grouped_mxu_tier(cfg64):
     ref_norm = float(np.linalg.norm(bwdtrans.reference2d(data["basis"],
                                                          nelmt)))
     for label, fn, args in b04.build_variants(data, cfg64):
-        assert l2norm(fn(*args)) == pytest.approx(ref_norm,
-                                                  rel=1e-10), label
+        assert variant_norm(fn(*args), data) == pytest.approx(
+            ref_norm, rel=1e-10), label
     # sub-threshold orders keep the v-first hybrid
     assert "s1g" not in b04.prepare(16, 16, 128, cfg64)
 
@@ -49,8 +50,8 @@ def test_qp_w_tier(cfg64):
     ref_norm = float(
         np.linalg.norm(bwdtrans.reference2d(data["basis"], nelmt)))
     for label, fn, args in b04.build_variants(data, cfg64):
-        assert l2norm(fn(*args)) == pytest.approx(ref_norm,
-                                                  rel=1e-10), label
+        assert variant_norm(fn(*args), data) == pytest.approx(
+            ref_norm, rel=1e-10), label
 
 
 def test_kron_coalesced_flat_layout(cfg64):
@@ -71,7 +72,8 @@ def test_golden_norm_nq8(cfg64):
     """Reference committed log value (benchmark04/nq8x8.log:3)."""
     data = b04.prepare(8, 8, 128, cfg64)
     _, fn, args = b04.build_variants(data, cfg64)[0]
-    assert l2norm(fn(*args)) == pytest.approx(29.12205853, rel=1e-8)
+    assert variant_norm(fn(*args), data) == pytest.approx(29.12205853,
+                                                          rel=1e-8)
 
 
 @pytest.mark.parametrize("nq", [2, 6, 11])
@@ -129,7 +131,7 @@ def test_odd_nelmt_padding(cfg64):
     data = b04.prepare(4, 4, nelmt, cfg64)
     ref_norm = float(np.linalg.norm(bwdtrans.reference2d(data["basis"], nelmt)))
     for label, fn, args in b04.build_variants(data, cfg64):
-        got = l2norm(fn(*args))
+        got = variant_norm(fn(*args), data)
         assert got == pytest.approx(ref_norm, rel=1e-10), label
 
 
@@ -138,7 +140,7 @@ def test_bf16_agreement():
     import jax.numpy as jnp
 
     from tpu_bench.core.config import Config
-    from tpu_bench.core.validate import l2norm
+    from tpu_bench.core.validate import l2norm, variant_norm
 
     cfg = Config(dtype=jnp.bfloat16, n_tests=2)
     data = b04.prepare(4, 4, 128, cfg)

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from tpu_bench.benchmarks import benchmark05 as b05
-from tpu_bench.core.validate import l2norm
+from tpu_bench.core.validate import l2norm, variant_norm
 from tpu_bench.ops import bwdtrans
 
 
@@ -17,7 +17,8 @@ def test_variants_match_oracle(nq, cfg64):
     ref_norm = float(np.linalg.norm(ref))
     for label, fn, args in b05.build_variants(data, cfg64):
         out = fn(*args)
-        assert l2norm(out) == pytest.approx(ref_norm, rel=1e-10), label
+        assert variant_norm(out, data) == pytest.approx(
+            ref_norm, rel=1e-10), label
         if label == "XLA(Uncoales)":
             np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9)
 
@@ -27,14 +28,16 @@ def test_mixed_nq(cfg64):
     data = b05.prepare(3, 4, 5, 128, cfg64)
     ref_norm = float(np.linalg.norm(bwdtrans.reference3d(data["basis"], 128)))
     for label, fn, args in b05.build_variants(data, cfg64):
-        assert l2norm(fn(*args)) == pytest.approx(ref_norm, rel=1e-10), label
+        assert variant_norm(fn(*args), data) == pytest.approx(
+            ref_norm, rel=1e-10), label
 
 
 def test_golden_norm_nq8(cfg64):
     """Reference committed log value (benchmark05/nq8x8x8.log:3)."""
     data = b05.prepare(8, 8, 8, 128, cfg64)
     _, fn, args = b05.build_variants(data, cfg64)[0]
-    assert l2norm(fn(*args)) == pytest.approx(189.3141665, rel=1e-8)
+    assert variant_norm(fn(*args), data) == pytest.approx(189.3141665,
+                                                          rel=1e-8)
 
 
 @pytest.mark.parametrize("nq", [2, 4, 8])
@@ -67,10 +70,10 @@ def test_coales_tier_dispatch(cfg32, cfg64):
     assert coales_key(8, cfg32) == "in_blk"        # chunk < 8192: unmeasured
     # f64: Mosaic has no float64, so every direct kernel is uncompilable —
     # the tier dispatches the exact split-mantissa MXU form instead
-    # (kernels/ozaki.py), whose inputs are the flat coalesced stream plus
-    # the pre-split operator slices
-    assert coales_key(4, cfg64) == "in_coa"
-    assert coales_key(6, cfg64) == "in_coa"
+    # (kernels/ozaki.py), whose operands BOTH arrive host-split
+    # (split_f64_np) so the program is x64-free end to end
+    assert coales_key(4, cfg64) == "in_slices"
+    assert coales_key(6, cfg64) == "in_slices"
 
 
 def test_bf16_f32v_accuracy():

@@ -81,3 +81,44 @@ def test_kron_ozaki_on_benchmark_operator():
     got = float(jnp.linalg.norm(out))
     want = float(np.linalg.norm(ref))
     assert abs(got - want) / want < 1e-13
+
+
+def test_pair_and_band_forms_match_f64():
+    """kron_ozaki_pair and kron_ozaki_band (the band-per-grid-step form)
+    produce identical (hi, lo) pairs, both ~1e-15 of NumPy f64, and
+    pair_norm's df2 tree matches the f64 norm — the x64-free sweep path
+    (VERDICT r4 next #2)."""
+    rng = np.random.default_rng(3)
+    for k, nq_tot in ((49, 64), (343, 512)):
+        c = rng.standard_normal((nq_tot, k))
+        x = rng.standard_normal((k,))
+        e = 256
+        w, t = ozaki.slice_params(k)
+        c_sl, s_c = ozaki.split_f64_np(c, w, t)
+        x_sl, s_x = ozaki.split_f64_np(x, w, t)
+        cs = jnp.asarray(c_sl).astype(jnp.bfloat16)
+        xs = jnp.asarray(
+            np.broadcast_to(x_sl[:, :, None], (t, k, e)).copy()
+        ).astype(jnp.bfloat16)
+        ref = c @ x
+        ref_norm = float(np.sqrt((ref * ref).sum() * e))
+        outs = []
+        for fn in (ozaki.kron_ozaki_pair, ozaki.kron_ozaki_band):
+            hi, lo = fn(xs, cs, epb=128, interpret=True)
+            out = (np.asarray(hi, np.float64)
+                   + np.asarray(lo, np.float64)) * (s_c * s_x)
+            np.testing.assert_allclose(out[:, 0], ref, rtol=1e-13)
+            nrm = ozaki.pair_norm((hi, lo), s_c * s_x)
+            assert abs(nrm - ref_norm) / ref_norm < 1e-13
+            outs.append(out)
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_split_f64_np_matches_jax_split():
+    """The NumPy host split is value-identical to the in-XLA split."""
+    x = np.asarray(_rand((5, 64), 7)) * 2.37
+    w, t = 7, 8
+    sl_np, sc_np = ozaki.split_f64_np(x, w, t)
+    sl_jx, sc_jx = ozaki.split_f64(jnp.asarray(x), w, t)
+    assert sc_np == float(sc_jx)
+    np.testing.assert_array_equal(sl_np, np.asarray(sl_jx, np.float32))

@@ -21,7 +21,7 @@ import jax
 
 from tpu_bench.baselines import reduction as xla_red
 from tpu_bench.core import variants
-from tpu_bench.core.config import Config
+from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
@@ -66,7 +66,14 @@ def build_variants(data, cfg):
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     """Time every variant at one size and emit the log-line triple
-    (the run_test<T> analog, benchmark01/benchmark01.cc:183-335)."""
+    (the run_test<T> analog, benchmark01/benchmark01.cc:183-335).
+    f64 runs under scoped x64 (core/config.x64_scope) so the process
+    never sets the global flag that locks Pallas out of this toolchain."""
+    with x64_scope(cfg.dtype):
+        _run_test(size, cfg, reporter)
+
+
+def _run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     x = initdata.device_x(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(x)
     data = {"x": x}

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from tpu_bench.baselines import axpy as xla_axpy
 from tpu_bench.core import variants
-from tpu_bench.core.config import Config
+from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import honest_options, sync_latency, time_chained
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
@@ -130,6 +130,13 @@ def _time_accumulating(fn, cfg, data):
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
+    # f64 runs under scoped x64 (core/config.x64_scope) — the global
+    # flag would lock every Pallas program out of this toolchain
+    with x64_scope(cfg.dtype):
+        _run_test(size, cfg, reporter)
+
+
+def _run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     y = initdata.device_y(size, cfg.dtype, pad_to=1024)
     jax.block_until_ready(y)
     data = variants.Layouts(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from tpu_bench.baselines import matvec as xla_mv
 from tpu_bench.core import variants
-from tpu_bench.core.config import Config
+from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
@@ -63,6 +63,13 @@ def build_variants(data, cfg):
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
+    # f64 runs under scoped x64 (core/config.x64_scope) — the global
+    # flag would lock every Pallas program out of this toolchain
+    with x64_scope(cfg.dtype):
+        _run_test(size, cfg, reporter)
+
+
+def _run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     m = n = size
     # zero-padded to sublane/lane multiples so odd sizes stay correct in
     # every tiled variant; throughput counts the true m*n

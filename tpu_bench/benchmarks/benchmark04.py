@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from tpu_bench.baselines import bwdtrans2d as xla_bt
 from tpu_bench.core import variants
-from tpu_bench.core.config import Config
+from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
@@ -87,12 +87,13 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em")),
-        # f64: exact split-mantissa MXU GEMMs (the only Pallas formulation
-        # Mosaic can lower without float64; kernels/ozaki.py)
+        # f64: exact split-mantissa MXU GEMMs, x64-free end to end — the
+        # operands arrive host-split (split_f64_np) so the program is pure
+        # bf16/f32 and compiles OUTSIDE the x64 scope (kernels/ozaki.py)
         ("Pallas(Coales)",
-         jax.jit(ozaki.coales_variant(epb=data["epb_oz"],
-                                      interpret=cfg.interpret)),
-         ("in_coa", "c_slices", "c_scale"))
+         jax.jit(ozaki.coales_pair_variant(epb=data["epb_oz"],
+                                           interpret=cfg.interpret)),
+         ("in_slices", "c_slices"))
         if "c_slices" in data
         else
         # low order (nq<=4 2D): the dense kron is a streaming expansion —
@@ -245,17 +246,12 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
         (nm_tot + 2 * nq_tot) * e_pad * it, w_cols * it, e_pad,
         cfg.mem_cap_bytes)
     if cfg.dtype == jnp.float64:
-        # f64 Coales tier: exact split-mantissa MXU GEMMs (kernels/ozaki.py)
-        # — Mosaic has no float64, so the direct kernels cannot compile;
-        # the operator's split is untimed setup like every basis operator
-        w_oz, t_oz = ozaki.slice_params(nm_tot)
-        c_sl, c_sc = ozaki.split_f64(data["c_coa"], w_oz, t_oz)
-        data["c_slices"], data["c_scale"] = c_sl, c_sc
-        # VMEM/elt: double-buffered slice stream (bf16) + the (hi, lo)
-        # f32 output pair, operator slices resident
-        data["epb_oz"] = bwdtrans.choose_epb(
-            4 * t_oz * nm_tot + 16 * nq_tot, e_pad, cfg.epb,
-            max(budget - 2 * c_sl.size * 2, 1 << 20))
+        # f64 Coales tier: x64-free exact split-mantissa MXU GEMMs
+        # (kernels/ozaki.py; split/recombine on the host in NumPy f64)
+        import numpy as np
+
+        ozaki.prepare_f64_tier(data, np.asarray(data["c_coa"], np.float64),
+                               nm_tot, nq_tot, nelmt, e_pad, cfg)
     # nq=32-class QP/Shared tier: G-grouped block-diagonal MXU kernel
     # (qp_mxu_grouped).  Only at nq_tot >= 1024: measured at nq=16/14 the
     # v-first hybrid still wins (64.5/63.4 vs 47.8/40.0 GDOF/s,
@@ -305,10 +301,44 @@ def prepare(nq0: int, nq1: int, nelmt: int, cfg: Config) -> dict:
     return data
 
 
+def _measure_scoped(label, fn, keys, data, cfg, reporter, tight):
+    """One variant's (seconds, norm) with the per-variant x64 scope rule
+    (shared by benchmarks 04/05): the f64 Ozaki Coales tier — a pure
+    bf16/f32 program with host-side f64 split/recombine — runs OUTSIDE
+    the x64 scope (the only context this toolchain compiles Pallas in)
+    and validates through the df2 norm; every other variant runs inside
+    the scope, a no-op for f32/bf16 runs."""
+    import contextlib
+
+    carry = "scalar" if tight and label.startswith("Pallas") else "array"
+    xfree = label == "Pallas(Coales)" and "c_slices" in data
+    scope = contextlib.nullcontext() if xfree else x64_scope(cfg.dtype)
+    with scope:
+        args = tuple(data[k] for k in keys)  # lazy derived layouts
+        kw = {}
+        if xfree:
+            scale = data["oz_scale"]
+            kw = dict(
+                norm_fn=lambda out: ozaki.pair_norm(out, scale),
+                witness_norm=lambda w, _f=fn, _a=args:
+                    ozaki.pair_norm_apply(_f, _a, cfg, scale))
+        t, norm = measure_checked(label, fn, args, cfg, reporter,
+                                  chain_fn=eps_chain(fn, eps_arg=1),
+                                  carry=carry, **kw)
+        del args, kw
+    return t, norm
+
+
 def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,
              reporter: Reporter) -> None:
-    data = prepare(nq0, nq1, nelmt, cfg)
-    jax.block_until_ready(data["b0"])
+    # f64 runs under SCOPED x64 (config.x64_scope): the XLA tier traces/
+    # executes true f64 inside the scope, while the Pallas Ozaki tier —
+    # whose program is pure bf16/f32 with host-side f64 split/recombine —
+    # runs OUTSIDE it, which is the only way any Pallas program compiles
+    # on this toolchain (kernels/ozaki.py module docstring).
+    with x64_scope(cfg.dtype):
+        data = prepare(nq0, nq1, nelmt, cfg)
+        jax.block_until_ready(data["b0"])
 
     # pallas_call outputs are opaque to XLA, so Pallas variants may carry
     # only the probe scalar through the timing chain — one output buffer
@@ -320,12 +350,8 @@ def run_test(nelmt: int, nq0: int, nq1: int, cfg: Config,
              * data["e_pad"] * cfg.itemsize > cfg.mem_cap_bytes)
     times, norms = [], []
     for label, fn, keys in variant_specs(data, cfg):
-        args = tuple(data[k] for k in keys)  # lazy derived layouts
-        carry = "scalar" if tight and label.startswith("Pallas") else "array"
-        t, norm = measure_checked(label, fn, args, cfg, reporter,
-                                  chain_fn=eps_chain(fn, eps_arg=1),
-                                  carry=carry)
-        del args
+        t, norm = _measure_scoped(label, fn, keys, data, cfg, reporter,
+                                  tight)
         times.append(t)
         norms.append(norm)
 

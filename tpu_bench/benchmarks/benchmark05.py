@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from tpu_bench.baselines import bwdtrans2d as xla2d
 from tpu_bench.baselines import bwdtrans3d as xla_bt
 from tpu_bench.core import variants
-from tpu_bench.core.config import Config
+from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
@@ -76,12 +76,13 @@ def variant_specs(data, cfg):
          ("in_coa", "c_coa3")),
         ("Pallas(Uncoales)", _pl(pl_bt.kron_elem_major, cfg,
                                  data["epb_em"]), ("in_em2", "c_em3")),
-        # f64: exact split-mantissa MXU GEMMs (the only Pallas formulation
-        # Mosaic can lower without float64; kernels/ozaki.py)
+        # f64: exact split-mantissa MXU GEMMs, x64-free end to end — the
+        # operands arrive host-split (split_f64_np) so the program is pure
+        # bf16/f32 and compiles OUTSIDE the x64 scope (kernels/ozaki.py)
         ("Pallas(Coales)",
-         jax.jit(ozaki.coales_variant(epb=data["epb_oz"],
-                                      interpret=cfg.interpret)),
-         ("in_coa", "c_slices", "c_scale"))
+         jax.jit(ozaki.coales_pair_variant(epb=data["epb_oz"],
+                                           interpret=cfg.interpret)),
+         ("in_slices", "c_slices"))
         if "c_slices" in data
         else
         # low order (nq=2^3): 1R:8W streaming expansion — unrolled VPU
@@ -232,15 +233,13 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
     data["qp_flat"] = pl_bt.flat_qp_gate(nm2 * nm1, c12t.shape[0],
                                          cfg.itemsize)
     if cfg.dtype == jnp.float64:
-        # f64 Coales tier: exact split-mantissa MXU GEMMs (kernels/ozaki.py;
-        # see benchmark04.prepare) — the 3D contraction depth (nm_tot up to
-        # 729 at nq=10^3) picks narrower slices via slice_params
-        w_oz, t_oz = ozaki.slice_params(nm_tot)
-        c_sl, c_sc = ozaki.split_f64(data["c_coa3"], w_oz, t_oz)
-        data["c_slices"], data["c_scale"] = c_sl, c_sc
-        data["epb_oz"] = bwdtrans.choose_epb(
-            4 * t_oz * nm_tot + 16 * nq_tot, e_pad, cfg.epb,
-            max(budget - 2 * c_sl.size * 2, 1 << 20))
+        # f64 Coales tier: x64-free exact split-mantissa MXU GEMMs
+        # (kernels/ozaki.py; see benchmark04.prepare) — the 3D contraction
+        # depth (nm_tot up to 729 at nq=10^3) picks narrower slices
+        import numpy as np
+
+        ozaki.prepare_f64_tier(data, np.asarray(data["c_coa3"], np.float64),
+                               nm_tot, nq_tot, nelmt, e_pad, cfg)
     if cfg.autotune and cfg.epb is None:
         from tpu_bench.core import autotune as at
 
@@ -291,8 +290,11 @@ def prepare(nq0: int, nq1: int, nq2: int, nelmt: int, cfg: Config) -> dict:
 
 def run_test(nelmt: int, nq0: int, nq1: int, nq2: int, cfg: Config,
              reporter: Reporter) -> None:
-    data = prepare(nq0, nq1, nq2, nelmt, cfg)
-    jax.block_until_ready(data["b0"])
+    # f64: scoped x64 for the XLA tier, x64-free Ozaki Pallas tier —
+    # see benchmark04.run_test / _measure_scoped
+    with x64_scope(cfg.dtype):
+        data = prepare(nq0, nq1, nq2, nelmt, cfg)
+        jax.block_until_ready(data["b0"])
 
     # scalar carry for Pallas variants only at array-carry-overflow sizes
     # (see benchmark04.run_test — keeps cached executables elsewhere)
@@ -301,12 +303,8 @@ def run_test(nelmt: int, nq0: int, nq1: int, nq2: int, cfg: Config,
              * data["e_pad"] * cfg.itemsize > cfg.mem_cap_bytes)
     times, norms = [], []
     for label, fn, keys in variant_specs(data, cfg):
-        args = tuple(data[k] for k in keys)  # lazy derived layouts
-        carry = "scalar" if tight and label.startswith("Pallas") else "array"
-        t, norm = measure_checked(label, fn, args, cfg, reporter,
-                                  chain_fn=eps_chain(fn, eps_arg=1),
-                                  carry=carry)
-        del args
+        t, norm = b04_mod._measure_scoped(label, fn, keys, data, cfg,
+                                          reporter, tight)
         times.append(t)
         norms.append(norm)
 

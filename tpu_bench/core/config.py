@@ -8,6 +8,7 @@ count, memory cap, tile knobs) here.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 from typing import Optional
@@ -27,6 +28,34 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # older jax without these options
     pass
+
+
+def x64_scope(dtype):
+    """Scoped f64 semantics for the f64 tier — global x64 is NEVER enabled.
+
+    This toolchain's remote compile helper rejects EVERY Pallas program
+    compiled under jax_enable_x64, even pure-bf16 ones (artifacts/wall/
+    f64ozaki.log) — which is why the round-4 f64 logs carry six dead
+    Pallas columns.  The fix (VERDICT r4 next #2) is to scope x64 to the
+    XLA-tier trace/execute sites only: every f64 array creation, trace,
+    execution, and norm runs inside `with x64_scope(cfg.dtype):`, while
+    the Pallas Ozaki tier (kernels/ozaki.py — bf16/f32 types only, f64
+    split/recombine on the host) runs OUTSIDE it in a plain f32 context
+    the compile helper accepts.
+
+    No-ops (nullcontext) for non-f64 dtypes and when global x64 is
+    already live (the pytest suite, tests/conftest.py).  Falls back to
+    enabling the global flag on jax versions without a scoped config
+    state — the pre-round-5 behavior."""
+    if jnp.dtype(dtype) != jnp.float64 or jax.config.jax_enable_x64:
+        return contextlib.nullcontext()
+    try:
+        from jax._src import config as _jcfg
+
+        return _jcfg.enable_x64(True)
+    except Exception:
+        jax.config.update("jax_enable_x64", True)
+        return contextlib.nullcontext()
 
 
 def _default_interpret() -> bool:
@@ -106,8 +135,8 @@ class Config:
         dtype = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}[
             args.dtype
         ]
-        if dtype == jnp.float64:
-            jax.config.update("jax_enable_x64", True)
+        # f64 runs with SCOPED x64 (x64_scope) — never the global flag,
+        # which would lock every Pallas program out of the toolchain
         precision = {
             "default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,

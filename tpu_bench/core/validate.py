@@ -38,6 +38,19 @@ def l2norm(x: jax.Array) -> float:
     return float(np.sqrt(_norm_sq_f32(x.astype(jnp.float32))))
 
 
+def variant_norm(out, data=None) -> float:
+    """l2norm that also understands the f64 Ozaki tier's (hi, lo) df2
+    pair output (kernels/ozaki.py): when `data` carries the tier's
+    oz_scale, a 2-tuple output is normed through the exact df2 path.
+    Test-suite and small-size convenience."""
+    if (isinstance(out, (tuple, list)) and len(out) == 2
+            and data is not None and "oz_scale" in data):
+        from tpu_bench.kernels import ozaki
+
+        return ozaki.pair_norm(tuple(out), data["oz_scale"])
+    return l2norm(out)
+
+
 def check_norm_agreement(
     labels: Sequence[str],
     norms: Sequence[float],

@@ -40,13 +40,17 @@ hardware has no f64 multiplier at all.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_bench.kernels import common
 from tpu_bench.kernels.bwdtrans2d import _parallel_params
+from tpu_bench.ops import df2
 
 
 def slice_params(k: int) -> tuple:
@@ -74,6 +78,26 @@ def split_f64(x, w: int, t_slices: int):
         slices.append(v.astype(jnp.bfloat16))
         r = r - v * (2.0 ** (-w * (t + 1)))
     return jnp.stack(slices), scale
+
+
+def split_f64_np(x, w: int, t_slices: int):
+    """split_f64 in pure NumPy — no JAX types, so it runs with NO x64
+    anywhere in the process.  Returns (slices (T, *x.shape) float32 with
+    exactly-representable integer values |v| <= 2^w, scale: python float).
+    The f64 tier's prep path: this toolchain rejects every Pallas program
+    compiled under jax_enable_x64 (artifacts/wall/f64ozaki.log), so the
+    split/recombine ends of the pipeline live on the host and only exact
+    bf16/f32 math ever reaches the device (VERDICT r4 next #2)."""
+    x = np.asarray(x, np.float64)
+    ax = float(np.max(np.abs(x))) if x.size else 0.0
+    scale = float(2.0 ** math.ceil(math.log2(ax))) if ax > 0 else 1.0
+    r = x / scale
+    slices = []
+    for t in range(t_slices):
+        v = np.round(r * 2.0 ** (w * (t + 1)))
+        slices.append(v.astype(np.float32))
+        r = r - v * 2.0 ** (-w * (t + 1))
+    return np.stack(slices), scale
 
 
 def _two_sum(a, b):
@@ -110,12 +134,14 @@ def _ozaki_kernel(t_a, t_x, w, precision, a_ref, x_ref, hi_ref, lo_ref):
     lo_ref[:] = lo
 
 
-def kron_ozaki(in_slices, c_slices, scale_in, scale_c, *, epb,
-               interpret=False, precision=None):
-    """out_f64 = (C @ X) for f64 C (nqTot, nmTot) and X (nmTot, E), where
-    both arrive pre-split (split_f64) and the product runs as exact bf16
-    slice GEMMs on the MXU.  Returns the f64 result; the recombination
-    hi + lo is one bandwidth-bound XLA pass."""
+def kron_ozaki_pair(in_slices, c_slices, *, epb, interpret=False,
+                    precision=None):
+    """(hi, lo) f32 = (C @ X) / (scale_c * scale_in) for pre-split operands
+    (split_f64 / split_f64_np): every type in the program is bf16/f32, so
+    it compiles and runs with jax_enable_x64 OFF — the only way any Pallas
+    program reaches this toolchain's TPU (artifacts/wall/f64ozaki.log).
+    The f64 value is scale_c * scale_in * (hi + lo), recombined by the
+    caller on the host (or via ops/df2 device math for norms)."""
     t_c, nq_tot, nm_tot = c_slices.shape
     t_x = in_slices.shape[0]
     e = in_slices.shape[2]
@@ -143,8 +169,190 @@ def kron_ozaki(in_slices, c_slices, scale_in, scale_c, *, epb,
         interpret=interpret,
         **_parallel_params(interpret),
     )(c_slices, in_slices)
+    return hi, lo
+
+
+def _ozaki_band_kernel(t_slices, precision, c_ref, x_ref, scales_ref,
+                       hi_ref, lo_ref):
+    # One BAND per sequential grid step: band u = sum_{s+t=u} dot(c_s, x_t)
+    # via a dynamic-bounds loop (ONE dot in the program, vs T(T+1)/2
+    # unrolled in _ozaki_kernel — whose 45-66-GEMM 3D instantiations this
+    # toolchain's compile helper rejects outright).  Bands accumulate into
+    # the (hi, lo) output refs with an error-free two-sum per step, u
+    # ascending = largest weight first.
+    u = pl.program_id(1)
+    f32 = jnp.float32
+    s_lo = jnp.maximum(0, u - (t_slices - 1))
+    s_hi = jnp.minimum(u, t_slices - 1)
+
+    def body(s, acc):
+        d = jnp.dot(c_ref[s], x_ref[u - s], preferred_element_type=f32)
+        return acc + d
+
+    band = jax.lax.fori_loop(
+        s_lo, s_hi + 1, body, jnp.zeros(hi_ref.shape, f32))
+    scaled = band * scales_ref[u]
+
+    @pl.when(u == 0)
+    def _init():
+        hi_ref[:] = scaled
+        lo_ref[:] = jnp.zeros_like(scaled)
+
+    @pl.when(u > 0)
+    def _accum():
+        h, e = _two_sum(hi_ref[:], scaled)
+        hi_ref[:] = h
+        lo_ref[:] = lo_ref[:] + e
+
+
+def kron_ozaki_band(in_slices, c_slices, *, epb, interpret=False,
+                    precision=None):
+    """kron_ozaki_pair with bands on a sequential grid axis instead of
+    unrolled in the program: same math, same (hi, lo) f32 result, but the
+    Mosaic program contains a single dynamically-indexed dot.  This is the
+    only formulation whose 3D instantiations (T=9-11 slices, K=343-729)
+    this toolchain's remote compile helper accepts; the fused
+    kron_ozaki_pair is kept for the small 2D programs where it measures
+    slightly faster (no per-band RMW of the output pair)."""
+    t_c, nq_tot, nm_tot = c_slices.shape
+    t_x = in_slices.shape[0]
+    e = in_slices.shape[2]
+    w, _ = slice_params(nm_tot)
+    n_bands = max(t_c, t_x)
+    scales = jnp.asarray(
+        np.array([2.0 ** (-w * (u + 2)) for u in range(n_bands)],
+                 np.float32))
+    grid = (e // epb, n_bands)
+    hi, lo = pl.pallas_call(
+        functools.partial(_ozaki_band_kernel, t_x, precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_c, nq_tot, nm_tot), lambda i, u: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_x, nm_tot, epb), lambda i, u: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nq_tot, epb), lambda i, u: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq_tot, epb), lambda i, u: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_tot, e), jnp.float32),
+            jax.ShapeDtypeStruct((nq_tot, e), jnp.float32),
+        ],
+        interpret=interpret,
+        **common.grid_semantics("parallel", "arbitrary",
+                                interpret=interpret),
+    )(c_slices, in_slices, scales)
+    return hi, lo
+
+
+def kron_ozaki(in_slices, c_slices, scale_in, scale_c, *, epb,
+               interpret=False, precision=None):
+    """out_f64 = (C @ X) for f64 C (nqTot, nmTot) and X (nmTot, E), where
+    both arrive pre-split (split_f64) and the product runs as exact bf16
+    slice GEMMs on the MXU.  Returns the f64 result; the recombination
+    hi + lo is one bandwidth-bound XLA pass.  Requires x64 to be live for
+    the recombine — the x64-free sweep path uses kron_ozaki_pair and
+    recombines on the host."""
+    hi, lo = kron_ozaki_pair(in_slices, c_slices, epb=epb,
+                             interpret=interpret, precision=precision)
     return (scale_c * scale_in) * (hi.astype(jnp.float64)
                                    + lo.astype(jnp.float64))
+
+
+def pair_norm(out, scale: float) -> float:
+    """Validation L2 norm of a scaled df2 tensor (hi, lo) without any f64
+    device type: sum of squares via ops/df2's error-free f32 tree
+    (~2^-48 relative), final combine + sqrt in Python f64 on the host.
+    Matches the XLA f64 columns' norms to ~1e-12 relative — well inside
+    the 1e-10 cross-variant rtol (core/validate.default_rtol)."""
+    hi, lo = out
+    s_hi, s_lo = jax.jit(df2.sumsq)(hi, lo)
+    return math.sqrt(float(s_hi) + float(s_lo)) * scale
+
+
+def pair_norm_apply(fn, args, cfg, scale: float) -> float:
+    """Apply fn(*args) -> (hi, lo) and return its pair_norm, compiling the
+    application at the SAME full-chip scoped-vmem window as the timing
+    executable (core/timing.honest_options).  A bare jit would compile at
+    the default 16 MB window and reject exactly the larger element blocks
+    the chain just timed (measured: the 3D nq=8 epb=512 slice GEMM needs
+    an 18.8 MB kernel stack)."""
+    from tpu_bench.core import timing
+
+    g = jax.jit(lambda *a: df2.sumsq(*fn(*a)))
+    opts = timing.honest_options(cfg)
+    if opts:
+        g = g.lower(*args).compile(compiler_options=opts)
+    s_hi, s_lo = g(*args)
+    return math.sqrt(float(s_hi) + float(s_lo)) * scale
+
+
+def coales_pair_variant(*, epb, interpret=False):
+    """The x64-free f64 Coales-tier timed fn: (in_slices bf16, c_slices
+    bf16) -> (hi, lo) f32.  Both operands arrive pre-split from prepare
+    (split_f64_np on the host) — the element stream is a broadcast of one
+    tiny coefficient vector (ops/bwdtrans.stream_sources), so its split is
+    O(nmTot) host work and the broadcast is untimed layout prep exactly
+    like every other variant's.  Traffic note: the kernel streams
+    T x 2-byte slices per dof (16-18 B) where the reference's double loads
+    stream 8 B (benchmark04/benchmark04.cc:1072), and writes the (hi, lo)
+    pair (8 B/dof, same as f64 out) — the GDOF/s column counts dofs, not
+    bytes, and the algorithmic difference is the point of the tier."""
+
+    def fn(in_slices, c_slices):
+        return kron_ozaki_pair(in_slices, c_slices, epb=epb,
+                               interpret=interpret)
+
+    return fn
+
+
+def prepare_f64_tier(data, c_coa_np, nm_tot, nq_tot, nelmt, e_pad, cfg):
+    """Attach the x64-free f64 Coales-tier operands to a harness Layouts
+    (benchmarks 04/05 prepare): host-split operator slices (`c_slices`,
+    bf16 on device), a lazy `in_slices` builder broadcasting the
+    host-split element coefficient vector with padding columns zeroed,
+    the combined power-of-two scale (`oz_scale`, python float), and the
+    VMEM-budgeted `epb_oz`.  Everything f64 happens in NumPy on the host;
+    no step requires jax_enable_x64.  Reference analog: the double
+    instantiation of the coalesced-layout kernels
+    (benchmark04/benchmark04.cc:1072, benchmark05/benchmark05.cc:1439)."""
+    from tpu_bench.ops import bwdtrans
+    from tpu_bench.utils import native
+
+    w, t = slice_params(nm_tot)
+    c_sl, s_c = split_f64_np(c_coa_np, w, t)
+    data["c_slices"] = jnp.asarray(c_sl).astype(jnp.bfloat16)
+    x_sl, s_x = split_f64_np(native.init_sin1(nm_tot), w, t)
+    data["oz_scale"] = s_c * s_x
+
+    def in_slices():
+        x = jnp.broadcast_to(
+            jnp.asarray(x_sl).astype(jnp.bfloat16)[:, :, None],
+            (t, nm_tot, e_pad))
+        if e_pad != nelmt:
+            mask = jnp.arange(e_pad) < nelmt
+            x = jnp.where(mask, x, jnp.zeros((), jnp.bfloat16))
+        return jnp.asarray(x)
+
+    data.add_derived("in_slices", in_slices)
+    # VMEM/element column: double-buffered bf16 slice stream (2*2t*nmTot
+    # bytes) + double-buffered (hi, lo) f32 pair (2*2*4*nqTot); operator
+    # slices ~2x resident.  The chain AND norm executables compile at the
+    # full-chip 128 MB scoped-vmem window (timing.honest_options /
+    # pair_norm_apply) — the default 16 MB window rejects the 3D blocks
+    # outright (measured 18.8 MB stack at nq=8^3 epb=512) — so the budget
+    # is pipeline efficiency, not a hard wall; 48 MB admits the measured
+    # epb optima (2048 at 2D nq=8, 512 at 3D nq=8/10^3,
+    # artifacts/wall/ozaki_xfree.log) with the T=11 deep-K operators
+    # resident.
+    data["epb_oz"] = bwdtrans.choose_epb(
+        4 * t * nm_tot + 16 * nq_tot, e_pad, cfg.epb,
+        max(48 * 1024 * 1024 - 2 * c_sl.size * 2, 1 << 20))
 
 
 def coales_variant(*, epb, interpret=False):
