@@ -14,19 +14,33 @@ from tpu_bench.utils import native
 GOLDEN_NORMS = {1024: 231.3925755, 2048: 327.7035849, 4096: 464.5263377}
 
 
+def _data(size, cfg):
+    """Operand mapping incl. the f64 df2 pair key (kernels/df2stream.py)."""
+    from tpu_bench.kernels import df2stream as df2s
+
+    x = initdata.device_x(size, cfg.dtype)
+    return {"x": x, "x2": df2s.split_pair(x)}
+
+
+def _scalar(out):
+    """Variant output -> sumsq float (df2 pairs combine in host f64)."""
+    if isinstance(out, (tuple, list)):
+        return sum(float(v) for v in out)
+    return float(out)
+
+
 @pytest.mark.parametrize("size", [1024, 4096])
 def test_variants_match_oracle(size, cfg64):
     x_host = native.init_mod13(size)
     expected = float(np.sqrt(np.sum(x_host * x_host)))
-    data = {"x": initdata.device_x(size, cfg64.dtype)}
-    for label, fn, args in b01.build_variants(data, cfg64):
-        got = math.sqrt(float(fn(*args)))
+    for label, fn, args in b01.build_variants(_data(size, cfg64), cfg64):
+        got = math.sqrt(_scalar(fn(*args)))
         assert got == pytest.approx(expected, rel=1e-12), label
 
 
 @pytest.mark.parametrize("size,norm", sorted(GOLDEN_NORMS.items()))
 def test_golden_norms(size, norm, cfg64):
-    data = {"x": initdata.device_x(size, cfg64.dtype)}
+    data = _data(size, cfg64)
     _, fn, args = b01.build_variants(data, cfg64)[0]
     got = math.sqrt(float(fn(*args)))
     assert got == pytest.approx(norm, rel=1e-9)

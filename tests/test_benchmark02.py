@@ -20,9 +20,23 @@ GOLDEN_NORMS = {1024: 5979.883197, 2048: 8481.399219}
 
 
 def _data(size, cfg):
+    from tpu_bench.kernels import df2stream as df2s
+
     y = initdata.device_y(size, cfg.dtype)
-    return Layouts(base={"y": y},
-                   derived={"x": lambda: initdata.device_x(size, cfg.dtype)})
+    return Layouts(
+        base={"y": y},
+        derived={"x": lambda: initdata.device_x(size, cfg.dtype),
+                 "x2": lambda: df2s.split_pair(
+                     initdata.device_x(size, cfg.dtype)),
+                 "y2": lambda: df2s.split_pair(y)})
+
+
+def _norm(x_final):
+    from tpu_bench.kernels import df2stream as df2s
+
+    if isinstance(x_final, (tuple, list)):
+        return df2s.pair_sumsq_norm(x_final)
+    return l2norm(x_final)
 
 
 @pytest.mark.parametrize("size", [1024, 4096])
@@ -32,18 +46,18 @@ def test_variants_accumulate(size, cfg64):
     n_reps = cfg64.n_tests
     expected = float(np.linalg.norm(x_host + n_reps * y_host))
     data = _data(size, cfg64)
-    for label, fn, _keys in b02.variant_specs(data, cfg64):
-        _, x_final = b02._time_accumulating(fn, cfg64, data)
-        assert l2norm(x_final) == pytest.approx(expected, rel=1e-12), label
+    for label, fn, keys in b02.variant_specs(data, cfg64):
+        _, x_final = b02._time_accumulating(fn, cfg64, data, *keys)
+        assert _norm(x_final) == pytest.approx(expected, rel=1e-12), label
 
 
 @pytest.mark.parametrize("size,norm", sorted(GOLDEN_NORMS.items()))
 def test_golden_norms(size, norm, cfg64):
     cfg64.n_tests = 40  # goldens assume the reference's 40 reps
     data = _data(size, cfg64)
-    _, fn, _ = b02.variant_specs(data, cfg64)[1]
-    _, x_final = b02._time_accumulating(fn, cfg64, data)
-    assert l2norm(x_final) == pytest.approx(norm, rel=1e-9)
+    _, fn, keys = b02.variant_specs(data, cfg64)[1]
+    _, x_final = b02._time_accumulating(fn, cfg64, data, *keys)
+    assert _norm(x_final) == pytest.approx(norm, rel=1e-9)
 
 
 def test_labels_match_specs(cfg32):

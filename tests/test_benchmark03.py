@@ -16,9 +16,23 @@ GOLDEN_NORMS = {128: 1053.208334, 256: 3026.150384, 512: 8521.062683}
 def _data(size, dtype):
     import jax.numpy as jnp
 
+    from tpu_bench.kernels import df2stream as df2s
+
     a = initdata.host_matrix_sin1((size, size), dtype)
-    return {"a_rm": a, "a_cm": jnp.asarray(a.T),
-            "x": initdata.host_x_linear(size, dtype)}
+    a_t = jnp.asarray(a.T)
+    x = initdata.host_x_linear(size, dtype)
+    d = {"a_rm": a, "a_cm": a_t, "x": x}
+    if jnp.dtype(dtype) == jnp.float64:
+        d.update(a2_rm=df2s.split_pair(a), a2_cm=df2s.split_pair(a_t),
+                 x2=df2s.split_pair(x))
+    return d
+
+
+def _as_f64(y):
+    """Variant output -> f64 vector (df2 pairs recombine in NumPy f64)."""
+    if isinstance(y, (tuple, list)):
+        return np.asarray(y[0], np.float64) + np.asarray(y[1], np.float64)
+    return np.asarray(y)
 
 
 @pytest.mark.parametrize("size", [128, 256])
@@ -27,7 +41,7 @@ def test_variants_match_oracle(size, cfg64):
     expected = native.matvec_ref(np.asarray(data["a_rm"]),
                                  np.asarray(data["x"]))
     for label, fn, args in b03.build_variants(data, cfg64):
-        y = np.asarray(fn(*args))
+        y = _as_f64(fn(*args))
         np.testing.assert_allclose(y, expected, rtol=1e-10, err_msg=label)
 
 

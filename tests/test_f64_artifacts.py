@@ -31,6 +31,34 @@ CASES = [
     ("artifacts/f64/b05/nq8x8x8.log",
      {128: 189.3141665},
      "benchmark05/nq8x8x8.log"),
+    # round-5 f64 order extension (VERDICT r4 next #3); norms transcribed
+    # from the reference's committed per-order logs at nelmt 128 (the b05
+    # Coales columns there carry the reference's own FP-accumulation
+    # drift, e.g. nq4x4x4.log 74.40 vs 77.92 — majority value used)
+    ("artifacts/f64/b04/nq2x2.log", {128: 12.29934445},
+     "benchmark04/nq2x2.log"),
+    ("artifacts/f64/b04/nq4x4.log", {128: 22.74297455},
+     "benchmark04/nq4x4.log"),
+    ("artifacts/f64/b04/nq6x6.log", {128: 50.7170893},
+     "benchmark04/nq6x6.log"),
+    ("artifacts/f64/b04/nq10x10.log", {128: 154.3352072},
+     "benchmark04/nq10x10.log"),
+    ("artifacts/f64/b04/nq12x12.log", {128: 159.5611325},
+     "benchmark04/nq12x12.log"),
+    ("artifacts/f64/b04/nq14x14.log", {128: 25.77250073},
+     "benchmark04/nq14x14.log"),
+    ("artifacts/f64/b04/nq16x16.log", {128: 88.15317209},
+     "benchmark04/nq16x16.log"),
+    ("artifacts/f64/b04/nq32x32.log", {128: 455.3487219},
+     "benchmark04/nq32x32.log"),
+    ("artifacts/f64/b05/nq2x2x2.log", {128: 13.97979752},
+     "benchmark05/nq2x2x2.log"),
+    ("artifacts/f64/b05/nq4x4x4.log", {128: 77.91803049},
+     "benchmark05/nq4x4x4.log"),
+    ("artifacts/f64/b05/nq6x6x6.log", {128: 408.4486145},
+     "benchmark05/nq6x6x6.log"),
+    ("artifacts/f64/b05/nq10x10x10.log", {128: 363.2723759},
+     "benchmark05/nq10x10x10.log"),
 ]
 
 
@@ -45,7 +73,7 @@ def parse_norms(path):
 
 
 @pytest.mark.parametrize("log,expect,src", CASES,
-                         ids=[c[2].split("/")[0] for c in CASES])
+                         ids=[c[2].replace("/", "-") for c in CASES])
 def test_f64_norms_match_reference(log, expect, src):
     path = os.path.join(ROOT, log)
     if not os.path.exists(path):

@@ -122,3 +122,45 @@ def test_split_f64_np_matches_jax_split():
     sl_jx, sc_jx = ozaki.split_f64(jnp.asarray(x), w, t)
     assert sc_np == float(sc_jx)
     np.testing.assert_array_equal(sl_np, np.asarray(sl_jx, np.float32))
+
+
+def test_df2stream_kernels_match_f64():
+    """kernels/df2stream.py: the b01/b02/b03 df2 tiers vs NumPy f64
+    (interpret mode).  Operands are exact (hi, lo) f32 pairs of the same
+    bytes as the f64 stream (df2stream.split_pair docstring)."""
+    from tpu_bench.kernels import df2stream as df2s
+    from tpu_bench.ops import df2 as df2ops
+
+    rng = np.random.default_rng(11)
+    x64 = rng.standard_normal(4096) * 3.0
+    y64 = rng.standard_normal(4096) * 2.0
+    x2 = tuple(jnp.asarray(v) for v in df2ops.split_f64_np(x64))
+    y2 = tuple(jnp.asarray(v) for v in df2ops.split_f64_np(y64))
+    # b01 sumsq tiers
+    want = float(np.sum(x64 * x64))
+    for fn in (df2s.sumsq_pair_two_pass, df2s.sumsq_pair_wide,
+               df2s.sumsq_pair_one_pass):
+        h, l = fn(x2, interpret=True)
+        got = float(h) + float(l)
+        assert abs(got - want) / want < 1e-13, fn.__name__
+    # b02 add (accumulating)
+    xh, xl = x2
+    for _ in range(3):
+        xh, xl = df2s.add_pair((xh, xl), y2, interpret=True)
+    want = x64 + 3 * y64
+    got = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    # atol floor: elements near a zero crossing have unbounded rel err
+    np.testing.assert_allclose(got, want, rtol=1e-12,
+                               atol=1e-13 * np.abs(want).max())
+    # b03 matvec, both layouts
+    a64 = rng.standard_normal((256, 512))
+    xv64 = rng.standard_normal(512)
+    a2 = tuple(jnp.asarray(v) for v in df2ops.split_f64_np(a64))
+    a2cm = tuple(jnp.asarray(v) for v in df2ops.split_f64_np(a64.T))
+    xv2 = tuple(jnp.asarray(v) for v in df2ops.split_f64_np(xv64))
+    want = a64 @ xv64
+    for fn, args in ((df2s.matvec_pair_rm, (a2, xv2)),
+                     (df2s.matvec_pair_cm, (a2cm, xv2))):
+        yh, yl = fn(*args, interpret=True)
+        got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        np.testing.assert_allclose(got, want, rtol=1e-12)

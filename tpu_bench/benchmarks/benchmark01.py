@@ -21,10 +21,12 @@ import jax
 
 from tpu_bench.baselines import reduction as xla_red
 from tpu_bench.core import variants
+from tpu_bench.core import timing
 from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
+from tpu_bench.kernels import df2stream as df2s
 from tpu_bench.kernels import reduction as pl_red
 from tpu_bench.ops import initdata
 
@@ -46,18 +48,38 @@ LABELS = ["XLA", "XLA(dot)", "Pallas", "Pallas(vl)", "Pallas(functor)"]
 def variant_specs(data, cfg):
     """Ordered (label, fn, operand keys) — core/variants.py convention.
     One streaming operand; the chained probe threads through the eps
-    scalar every b01 variant folds in (_chain), not an operand key."""
+    scalar every b01 variant folds in (_chain), not an operand key.
+
+    f64 dispatches the Pallas tier onto the df2 double-float kernels
+    (kernels/df2stream.py): the operand is the exact (hi, lo) f32 pair of
+    the same bytes ("x2"), the program is pure f32 so it compiles outside
+    the x64 scope, and the accumulation is error-free (~2^-48) so norms
+    match the XLA f64 columns to ~1e-12."""
     del data
+    if cfg.dtype == jnp.float64:
+        pal = [
+            ("Pallas", jax.jit(functools.partial(
+                df2s.sumsq_pair_two_pass, interpret=cfg.interpret)),
+             ("x2",)),
+            ("Pallas(vl)", jax.jit(functools.partial(
+                df2s.sumsq_pair_wide, interpret=cfg.interpret)), ("x2",)),
+            ("Pallas(functor)", jax.jit(functools.partial(
+                df2s.sumsq_pair_one_pass, interpret=cfg.interpret)),
+             ("x2",)),
+        ]
+    else:
+        pal = [
+            ("Pallas", jax.jit(functools.partial(
+                pl_red.sumsq_two_pass, interpret=cfg.interpret)), ("x",)),
+            ("Pallas(vl)", jax.jit(functools.partial(
+                pl_red.sumsq_wide, interpret=cfg.interpret)), ("x",)),
+            ("Pallas(functor)", jax.jit(functools.partial(
+                pl_red.sumsq_functor, interpret=cfg.interpret)), ("x",)),
+        ]
     return [
         ("XLA", xla_red.sumsq, ("x",)),
         ("XLA(dot)", xla_red.sumsq_dot, ("x",)),
-        ("Pallas", jax.jit(functools.partial(
-            pl_red.sumsq_two_pass, interpret=cfg.interpret)), ("x",)),
-        ("Pallas(vl)", jax.jit(functools.partial(
-            pl_red.sumsq_wide, interpret=cfg.interpret)), ("x",)),
-        ("Pallas(functor)", jax.jit(functools.partial(
-            pl_red.sumsq_functor, interpret=cfg.interpret)), ("x",)),
-    ]
+    ] + pal
 
 
 def build_variants(data, cfg):
@@ -67,25 +89,51 @@ def build_variants(data, cfg):
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     """Time every variant at one size and emit the log-line triple
     (the run_test<T> analog, benchmark01/benchmark01.cc:183-335).
-    f64 runs under scoped x64 (core/config.x64_scope) so the process
-    never sets the global flag that locks Pallas out of this toolchain."""
+    f64 runs the XLA tier under SCOPED x64 and the Pallas df2 tier
+    outside it (core/config.x64_scope — the global flag would lock every
+    Pallas program out of this toolchain)."""
+    import contextlib
+
     with x64_scope(cfg.dtype):
-        _run_test(size, cfg, reporter)
+        x = initdata.device_x(size, cfg.dtype, pad_to=1024)
+        jax.block_until_ready(x)
 
+    def x2():
+        # exact (hi, lo) f32 pair of the same bytes; f64 split math needs
+        # the scope, the pair itself does not
+        with x64_scope(cfg.dtype):
+            return df2s.split_pair(x)
 
-def _run_test(size: int, cfg: Config, reporter: Reporter) -> None:
-    x = initdata.device_x(size, cfg.dtype, pad_to=1024)
-    jax.block_until_ready(x)
-    data = {"x": x}
+    data = variants.Layouts(base={"x": x}, derived={"x2": x2})
 
     times, norms = [], []
-    for label, fn, args in build_variants(data, cfg):
-        # b01's kernel output is the sumsq scalar itself, so its norm is
-        # sqrt(out) = witness ** 0.25 (the witness squares the output)
-        t, norm = measure_checked(
-            label, fn, args, cfg, reporter, chain_fn=_chain(fn),
-            norm_fn=lambda out: math.sqrt(float(out)),
-            witness_norm=lambda w: w ** 0.25)
+    for label, fn, keys in variant_specs(data, cfg):
+        xfree = keys[0] == "x2"
+        scope = contextlib.nullcontext() if xfree else x64_scope(cfg.dtype)
+        with scope:
+            args = tuple(data[k] for k in keys)
+            if xfree:
+                # df2 pair output: norm = sqrt(hi + lo) combined in host
+                # f64; the chain witness only proves completion.  The
+                # untimed application compiles at the chain's full-chip
+                # scoped-vmem window (timing.call_full_window).
+                t, norm = measure_checked(
+                    label, fn, args, cfg, reporter, chain_fn=_chain(fn),
+                    norm_fn=lambda out: math.sqrt(sum(float(v)
+                                                      for v in out)),
+                    witness_norm=lambda w, _f=fn, _a=args: math.sqrt(
+                        sum(float(v)
+                            for v in timing.call_full_window(_f, _a,
+                                                             cfg))))
+            else:
+                # b01's kernel output is the sumsq scalar itself, so its
+                # norm is sqrt(out) = witness ** 0.25 (the witness squares
+                # the output)
+                t, norm = measure_checked(
+                    label, fn, args, cfg, reporter, chain_fn=_chain(fn),
+                    norm_fn=lambda out: math.sqrt(float(out)),
+                    witness_norm=lambda w: w ** 0.25)
+            del args
         times.append(t)
         norms.append(norm)
 

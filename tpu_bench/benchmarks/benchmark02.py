@@ -38,6 +38,7 @@ from tpu_bench.core.timing import honest_options, sync_latency, time_chained
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      fail_soft, l2norm)
 from tpu_bench.kernels import axpy as pl_axpy
+from tpu_bench.kernels import df2stream as pl_df2
 from tpu_bench.kernels import stream as pl_stream
 from tpu_bench.ops import initdata
 
@@ -51,22 +52,45 @@ def _pallas(fn_name, cfg):
 LABELS = ["XLA(donate)", "XLA", "Pallas", "Pallas(vl)", "Pallas(functor)"]
 
 
+def _pallas_df2(fn, cfg):
+    return jax.jit(functools.partial(fn, interpret=cfg.interpret),
+                   donate_argnums=(0,))
+
+
 def variant_specs(data, cfg):
     """Ordered (label, fn, operand keys) — core/variants.py convention.
     The "x" key is a lazy derived entry (fresh per access): the donated
     in-place variants consume their input, so each timing/validation pass
-    needs its own copy."""
+    needs its own copy.
+
+    f64 dispatches the Pallas tier onto the df2 double-float kernels
+    (kernels/df2stream.py): x and y stream as exact (hi, lo) f32 pairs —
+    the same 24 bytes per element (2R + 1W) as the reference's double
+    x[i] += y[i] — and the program is pure f32, compiling outside the
+    x64 scope.  The manual-DMA ring (stream.py) is f32-only; the vl slot
+    uses the 2 MB-block df2 add (the same DMA-granularity axis)."""
     del data
+    if cfg.dtype == jnp.float64:
+        pal = [
+            ("Pallas", _pallas_df2(pl_df2.add_pair, cfg), ("x2", "y2")),
+            ("Pallas(vl)", _pallas_df2(pl_df2.add_pair_wide, cfg),
+             ("x2", "y2")),
+            ("Pallas(functor)", _pallas_df2(pl_df2.map2_pair, cfg),
+             ("x2", "y2")),
+        ]
+    else:
+        pal = [
+            ("Pallas", _pallas("add_inplace", cfg), ("x", "y")),
+            ("Pallas(vl)", jax.jit(
+                functools.partial(pl_stream.add_inplace_manual,
+                                  interpret=cfg.interpret),
+                donate_argnums=(0,)), ("x", "y")),
+            ("Pallas(functor)", _pallas("map2_inplace", cfg), ("x", "y")),
+        ]
     return [
         ("XLA(donate)", xla_axpy.add_donated, ("x", "y")),
         ("XLA", xla_axpy.add, ("x", "y")),
-        ("Pallas", _pallas("add_inplace", cfg), ("x", "y")),
-        ("Pallas(vl)", jax.jit(
-            functools.partial(pl_stream.add_inplace_manual,
-                              interpret=cfg.interpret),
-            donate_argnums=(0,)), ("x", "y")),
-        ("Pallas(functor)", _pallas("map2_inplace", cfg), ("x", "y")),
-    ]
+    ] + pal
 
 
 def build_variants(data, cfg):
@@ -80,7 +104,10 @@ def _accum_chain(fn):
     def run_k(k, x, y):
         out = jax.lax.fori_loop(0, k, lambda i, xx: fn(xx, y), x)
         # sum (not a single element) so XLA cannot slice-propagate the
-        # probe through the loop and elide the streaming work
+        # probe through the loop and elide the streaming work; df2 pair
+        # carries sum both halves (both must stay live)
+        if isinstance(out, (tuple, list)):
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
         return jnp.sum(out.astype(jnp.float32))
 
     return run_k
@@ -96,25 +123,33 @@ def _accum_apply(fn):
     return apply_n
 
 
-def _time_accumulating(fn, cfg, data):
+def _time_accumulating(fn, cfg, data, xkey="x", ykey="y"):
     """Time one x += y application; return (seconds, x_after_n_tests_reps).
-    data["x"] yields a FRESH x per access (lazy derived layout)."""
-    y = data["y"]
+    data[xkey] yields a FRESH x per access (lazy derived layout)."""
+    y = data[ykey]
     mode = cfg.timing
     if mode == "auto":
         mode = "chained" if sync_latency() > 1e-3 else "dispatch"
 
     if mode == "chained":
         run_k = _accum_chain(fn)
-        t, _ = time_chained(run_k, (data["x"], y), n_tests=cfg.n_tests,
+        t, _ = time_chained(run_k, (data[xkey], y), n_tests=cfg.n_tests,
                             compiler_options=honest_options(cfg))
-        x_final = _accum_apply(fn)(jnp.int32(cfg.n_tests), data["x"], y)
+        # validation pass at the chain's full-chip scoped-vmem window —
+        # a bare jit compiles at the 16 MB default and rejects the larger
+        # Pallas blocks the chain just timed (timing.call_full_window)
+        apply_n = _accum_apply(fn)
+        a = (jnp.int32(cfg.n_tests), data[xkey], y)
+        opts = honest_options(cfg)
+        if opts:
+            apply_n = apply_n.lower(*a).compile(compiler_options=opts)
+        x_final = apply_n(*a)
         return t, x_final
 
     # dispatch mode: warm the jit cache on a scratch x (donation may
     # invalidate it), then exactly n_tests timed accumulating reps.
-    jax.block_until_ready(fn(data["x"], y))
-    x = data["x"]
+    jax.block_until_ready(fn(data[xkey], y))
+    x = data[xkey]
     jax.block_until_ready(x)
     from tpu_bench.core.timing import Timer
 
@@ -130,31 +165,49 @@ def _time_accumulating(fn, cfg, data):
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
-    # f64 runs under scoped x64 (core/config.x64_scope) — the global
-    # flag would lock every Pallas program out of this toolchain
+    # f64: the XLA tier traces/executes under SCOPED x64, the Pallas df2
+    # tier outside it (core/config.x64_scope) — the global flag would
+    # lock every Pallas program out of this toolchain
+    import contextlib
+
     with x64_scope(cfg.dtype):
-        _run_test(size, cfg, reporter)
+        y = initdata.device_y(size, cfg.dtype, pad_to=1024)
+        jax.block_until_ready(y)
 
+    def fresh_x():
+        with x64_scope(cfg.dtype):
+            return initdata.device_x(size, cfg.dtype, pad_to=1024)
 
-def _run_test(size: int, cfg: Config, reporter: Reporter) -> None:
-    y = initdata.device_y(size, cfg.dtype, pad_to=1024)
-    jax.block_until_ready(y)
-    data = variants.Layouts(
-        base={"y": y},
-        derived={"x": lambda: initdata.device_x(size, cfg.dtype,
-                                                pad_to=1024)})
+    def fresh_x2():
+        with x64_scope(cfg.dtype):
+            return pl_df2.split_pair(
+                initdata.device_x(size, cfg.dtype, pad_to=1024))
 
-    def timed(fn):
+    def y2():
+        with x64_scope(cfg.dtype):
+            return pl_df2.split_pair(y)
+
+    data = variants.Layouts(base={"y": y},
+                            derived={"x": fresh_x, "x2": fresh_x2,
+                                     "y2": y2})
+
+    def timed(fn, keys):
         def thunk():
-            t, x_final = _time_accumulating(fn, cfg, data)
-            norm = l2norm(x_final)
+            t, x_final = _time_accumulating(fn, cfg, data, *keys)
+            if isinstance(x_final, (tuple, list)):
+                norm = pl_df2.pair_sumsq_norm(x_final)
+            else:
+                norm = l2norm(x_final)
             del x_final
             return t, norm
         return thunk
 
     times, norms = [], []
-    for label, fn, _keys in variant_specs(data, cfg):
-        t, norm = fail_soft(label, reporter, timed(fn))
+    for label, fn, keys in variant_specs(data, cfg):
+        xfree = keys[0] == "x2"
+        scope = contextlib.nullcontext() if xfree else x64_scope(cfg.dtype)
+        with scope:
+            t, norm = fail_soft(label, reporter, timed(fn, keys))
         times.append(t)
         norms.append(norm)
 

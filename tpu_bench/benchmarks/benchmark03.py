@@ -26,9 +26,11 @@ from tpu_bench.baselines import matvec as xla_mv
 from tpu_bench.core import variants
 from tpu_bench.core.config import Config, x64_scope
 from tpu_bench.core.reporting import Reporter
+from tpu_bench.core import timing
 from tpu_bench.core.timing import eps_chain
 from tpu_bench.core.validate import (check_norm_agreement, default_rtol,
                                      measure_checked)
+from tpu_bench.kernels import df2stream as pl_df2
 from tpu_bench.kernels import matvec as pl_mv
 from tpu_bench.ops import initdata
 
@@ -42,6 +44,29 @@ def variant_specs(data, cfg):
     column-major copy); index 1 ("x") is the small operand the chained
     timer perturbs (eps_chain)."""
     del data
+    if cfg.dtype == jnp.float64:
+        # f64: both Pallas slots dispatch the df2 double-float kernels
+        # (kernels/df2stream.py) — A streams as its exact (hi, lo) f32
+        # pair, 8 B per entry like the reference's double loads.  The MXU
+        # has no f64 path, so the two slots differ by traversal layout
+        # (row-major row blocks vs the column-major copy), exactly the
+        # axis the reference's cuBLAS 'T'/'N' pair probes.
+        pal = [
+            ("Pallas(vpu)", jax.jit(functools.partial(
+                pl_df2.matvec_pair_rm, interpret=cfg.interpret)),
+             ("a2_rm", "x2")),
+            ("Pallas(mxu)", jax.jit(functools.partial(
+                pl_df2.matvec_pair_cm, interpret=cfg.interpret)),
+             ("a2_cm", "x2")),
+        ]
+    else:
+        pal = [
+            ("Pallas(vpu)", jax.jit(functools.partial(
+                pl_mv.matvec_vpu, interpret=cfg.interpret)), ("a_rm", "x")),
+            ("Pallas(mxu)", jax.jit(functools.partial(
+                pl_mv.matvec_mxu, interpret=cfg.interpret,
+                precision=cfg.precision)), ("a_cm", "x")),
+        ]
     return [
         ("XLA(rowsum)", xla_mv.rowsum, ("a_rm", "x")),
         ("XLA(gemv-rm)",
@@ -50,12 +75,7 @@ def variant_specs(data, cfg):
         ("XLA(gemv-cm)",
          functools.partial(xla_mv.gemv_cm, precision=cfg.precision),
          ("a_cm", "x")),
-        ("Pallas(vpu)", jax.jit(functools.partial(
-            pl_mv.matvec_vpu, interpret=cfg.interpret)), ("a_rm", "x")),
-        ("Pallas(mxu)", jax.jit(functools.partial(
-            pl_mv.matvec_mxu, interpret=cfg.interpret,
-            precision=cfg.precision)), ("a_cm", "x")),
-    ]
+    ] + pal
 
 
 def build_variants(data, cfg):
@@ -63,26 +83,52 @@ def build_variants(data, cfg):
 
 
 def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
-    # f64 runs under scoped x64 (core/config.x64_scope) — the global
-    # flag would lock every Pallas program out of this toolchain
-    with x64_scope(cfg.dtype):
-        _run_test(size, cfg, reporter)
+    # f64: the XLA tier traces/executes under SCOPED x64, the Pallas df2
+    # tier outside it (core/config.x64_scope) — the global flag would
+    # lock every Pallas program out of this toolchain
+    import contextlib
 
-
-def _run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     m = n = size
-    # zero-padded to sublane/lane multiples so odd sizes stay correct in
-    # every tiled variant; throughput counts the true m*n
-    a = initdata.host_matrix_sin1((m, n), cfg.dtype, pad_shape=(8, 128))
-    a_t = jnp.asarray(a.T)  # column-major copy, materialized untimed
-    x = initdata.host_x_linear(n, cfg.dtype, pad_to=128)
-    jax.block_until_ready((a, a_t, x))
-    data = {"a_rm": a, "a_cm": a_t, "x": x}
+    with x64_scope(cfg.dtype):
+        # zero-padded to sublane/lane multiples so odd sizes stay correct
+        # in every tiled variant; throughput counts the true m*n
+        a = initdata.host_matrix_sin1((m, n), cfg.dtype, pad_shape=(8, 128))
+        a_t = jnp.asarray(a.T)  # column-major copy, materialized untimed
+        x = initdata.host_x_linear(n, cfg.dtype, pad_to=128)
+        jax.block_until_ready((a, a_t, x))
+
+    def pair_of(arr):
+        def build():
+            with x64_scope(cfg.dtype):
+                return pl_df2.split_pair(arr)
+        return build
+
+    data = variants.Layouts(
+        base={"a_rm": a, "a_cm": a_t, "x": x},
+        derived={"a2_rm": pair_of(a), "a2_cm": pair_of(a_t),
+                 "x2": pair_of(x)})
 
     times, norms = [], []
-    for label, fn, args in build_variants(data, cfg):
-        t, norm = measure_checked(label, fn, args, cfg, reporter,
-                                  chain_fn=eps_chain(fn, eps_arg=1))
+    for label, fn, keys in variant_specs(data, cfg):
+        xfree = keys[0].startswith("a2")
+        scope = contextlib.nullcontext() if xfree else x64_scope(cfg.dtype)
+        with scope:
+            args = tuple(data[k] for k in keys)
+            kw = {}
+            if xfree:
+                # df2 pair output: exact sumsq on device, combine + sqrt
+                # in host f64; the chain witness only proves completion.
+                # The untimed application compiles at the chain's
+                # full-chip scoped-vmem window (timing.call_full_window).
+                kw = dict(
+                    norm_fn=pl_df2.pair_sumsq_norm,
+                    witness_norm=lambda w, _f=fn, _a=args:
+                        pl_df2.pair_sumsq_norm(
+                            timing.call_full_window(_f, _a, cfg)))
+            t, norm = measure_checked(label, fn, args, cfg, reporter,
+                                      chain_fn=eps_chain(fn, eps_arg=1),
+                                      **kw)
+            del args, kw
         times.append(t)
         norms.append(norm)
 

@@ -160,6 +160,20 @@ def honest_options(cfg=None) -> Optional[dict]:
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
+def call_full_window(fn, args, cfg):
+    """Apply fn(*args) compiled at the SAME full-chip scoped-vmem window
+    as the chained timing executable (honest_options).  A bare jit call
+    compiles at the default 16 MB window and rejects exactly the larger
+    Pallas blocks the chain just timed (measured: the 3D Ozaki epb=512
+    program needs an 18.8 MB kernel stack) — every untimed validation
+    application of a Pallas-backed variant must come through here."""
+    g = jax.jit(fn)
+    opts = honest_options(cfg)
+    if opts:
+        return g.lower(*args).compile(compiler_options=opts)(*args)
+    return g(*args)
+
+
 def _default_probe(out):
     """Cheapest true-completion witness: one element of the output."""
     if isinstance(out, (tuple, list)):
@@ -251,13 +265,18 @@ def eps_chain(fn: Callable, eps_arg: int = 0) -> Callable:
     """Make a chain_fn that perturbs args[eps_arg] by 0.0*p before calling fn.
 
     Use on a SMALL operand (a vector, a basis matrix) so the perturbation's
-    materialization cost is negligible next to the streamed traffic."""
+    materialization cost is negligible next to the streamed traffic.  A
+    tuple operand (the df2 (hi, lo) pairs of the f64 tier) is perturbed in
+    its first leaf only — sufficient for the data dependence."""
 
     def chain_fn(p, *args):
         args = list(args)
-        args[eps_arg] = args[eps_arg] + (jnp.float32(0.0) * p).astype(
-            args[eps_arg].dtype
-        )
+        a = args[eps_arg]
+        if isinstance(a, (tuple, list)):
+            eps = (jnp.float32(0.0) * p).astype(a[0].dtype)
+            args[eps_arg] = (a[0] + eps,) + tuple(a[1:])
+        else:
+            args[eps_arg] = a + (jnp.float32(0.0) * p).astype(a.dtype)
         return fn(*args)
 
     return chain_fn

@@ -284,11 +284,8 @@ def pair_norm_apply(fn, args, cfg, scale: float) -> float:
     an 18.8 MB kernel stack)."""
     from tpu_bench.core import timing
 
-    g = jax.jit(lambda *a: df2.sumsq(*fn(*a)))
-    opts = timing.honest_options(cfg)
-    if opts:
-        g = g.lower(*args).compile(compiler_options=opts)
-    s_hi, s_lo = g(*args)
+    s_hi, s_lo = timing.call_full_window(
+        lambda *a: df2.sumsq(*fn(*a)), args, cfg)
     return math.sqrt(float(s_hi) + float(s_lo)) * scale
 
 

@@ -83,6 +83,26 @@ def split_f64_np(x) -> tuple:
     return hi, lo
 
 
+def tree_sum(hi, lo):
+    """df2 sum of a df2 tensor: (s_hi, s_lo) f32 scalar pair via the same
+    log-depth error-free pairwise tree as sumsq (no squaring).  Used to
+    finish per-block partial pairs (kernels/df2stream.py second pass)."""
+    sh, sl = hi.ravel(), lo.ravel()
+    n = sh.shape[0]
+    np2 = 1
+    while np2 < n:
+        np2 *= 2
+    if np2 != n:
+        z = jnp.zeros((np2 - n,), jnp.float32)
+        sh = jnp.concatenate([sh, z])
+        sl = jnp.concatenate([sl, z])
+    while np2 > 1:
+        half = np2 // 2
+        sh, sl = add((sh[:half], sl[:half]), (sh[half:], sl[half:]))
+        np2 = half
+    return sh[0], sl[0]
+
+
 def sumsq(hi, lo):
     """Sum of squares of a df2 tensor, accumulated in df2: returns the
     (s_hi, s_lo) f32 scalar pair.  Log-depth pairwise tree of error-free
