@@ -14,6 +14,7 @@ Variant mapping (reference tier -> TPU-native tier):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -92,8 +93,6 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     f64 runs the XLA tier under SCOPED x64 and the Pallas df2 tier
     outside it (core/config.x64_scope — the global flag would lock every
     Pallas program out of this toolchain)."""
-    import contextlib
-
     with x64_scope(cfg.dtype):
         x = initdata.device_x(size, cfg.dtype, pad_to=1024)
         jax.block_until_ready(x)

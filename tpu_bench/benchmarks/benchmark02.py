@@ -25,6 +25,7 @@ Variant mapping:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -43,18 +44,16 @@ from tpu_bench.kernels import stream as pl_stream
 from tpu_bench.ops import initdata
 
 
-def _pallas(fn_name, cfg):
-    fn = getattr(pl_axpy, fn_name)
+def _pallas(fn, cfg):
+    """jit a Pallas add variant (by pl_axpy name or callable) with x
+    donated — true in-place semantics for the timing loop."""
+    if isinstance(fn, str):
+        fn = getattr(pl_axpy, fn)
     return jax.jit(functools.partial(fn, interpret=cfg.interpret),
                    donate_argnums=(0,))
 
 
 LABELS = ["XLA(donate)", "XLA", "Pallas", "Pallas(vl)", "Pallas(functor)"]
-
-
-def _pallas_df2(fn, cfg):
-    return jax.jit(functools.partial(fn, interpret=cfg.interpret),
-                   donate_argnums=(0,))
 
 
 def variant_specs(data, cfg):
@@ -72,10 +71,10 @@ def variant_specs(data, cfg):
     del data
     if cfg.dtype == jnp.float64:
         pal = [
-            ("Pallas", _pallas_df2(pl_df2.add_pair, cfg), ("x2", "y2")),
-            ("Pallas(vl)", _pallas_df2(pl_df2.add_pair_wide, cfg),
+            ("Pallas", _pallas(pl_df2.add_pair, cfg), ("x2", "y2")),
+            ("Pallas(vl)", _pallas(pl_df2.add_pair_wide, cfg),
              ("x2", "y2")),
-            ("Pallas(functor)", _pallas_df2(pl_df2.map2_pair, cfg),
+            ("Pallas(functor)", _pallas(pl_df2.map2_pair, cfg),
              ("x2", "y2")),
         ]
     else:
@@ -168,8 +167,6 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     # f64: the XLA tier traces/executes under SCOPED x64, the Pallas df2
     # tier outside it (core/config.x64_scope) — the global flag would
     # lock every Pallas program out of this toolchain
-    import contextlib
-
     with x64_scope(cfg.dtype):
         y = initdata.device_y(size, cfg.dtype, pad_to=1024)
         jax.block_until_ready(y)

@@ -17,6 +17,7 @@ Chained timing perturbs x (tiny next to A's streaming traffic).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -86,8 +87,6 @@ def run_test(size: int, cfg: Config, reporter: Reporter) -> None:
     # f64: the XLA tier traces/executes under SCOPED x64, the Pallas df2
     # tier outside it (core/config.x64_scope) — the global flag would
     # lock every Pallas program out of this toolchain
-    import contextlib
-
     m = n = size
     with x64_scope(cfg.dtype):
         # zero-padded to sublane/lane multiples so odd sizes stay correct

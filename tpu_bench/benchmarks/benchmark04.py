@@ -25,6 +25,7 @@ element streams).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -308,8 +309,6 @@ def _measure_scoped(label, fn, keys, data, cfg, reporter, tight):
     the x64 scope (the only context this toolchain compiles Pallas in)
     and validates through the df2 norm; every other variant runs inside
     the scope, a no-op for f32/bf16 runs."""
-    import contextlib
-
     carry = "scalar" if tight and label.startswith("Pallas") else "array"
     xfree = label == "Pallas(Coales)" and "c_slices" in data
     scope = contextlib.nullcontext() if xfree else x64_scope(cfg.dtype)
