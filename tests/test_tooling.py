@@ -194,3 +194,42 @@ def test_every_committed_log_carries_provenance():
     missing = [p for p in logs
                if "# provenance:" not in open(p).read(4096)]
     assert not missing, f"unstamped artifact logs: {sorted(missing)}"
+
+
+def test_annotate_log_dead_columns(tmp_path):
+    """scripts/annotate_log.py: dead (nan) columns gain one in-log note
+    each, classified from the recorded warning; notes are idempotent and
+    invisible to every parser (leading '#')."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "annotate_log", os.path.join(repo, "scripts", "annotate_log.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    log = tmp_path / "nq8x8.log"
+    log.write_text(
+        "# provenance: test\n"
+        "WARNING: variant Pallas(QP) failed: float64\n"
+        "nelmt 128 Case: XLA(GEMM) Pallas(QP)\n"
+        "nelmt 128 norm: 1.5 nan\n"
+        "nelmt 128 DOF/s: 2.0 0\n"
+        "nelmt 512 Case: XLA(GEMM) Pallas(QP)\n"
+        "nelmt 512 norm: 3.0 nan\n"
+        "nelmt 512 DOF/s: 4.0 0\n")
+    mod.annotate(str(log))
+    lines = log.read_text().splitlines()
+    notes = [l for l in lines if l.startswith("# note:")]
+    assert len(notes) == 1
+    assert "Pallas(QP)" in notes[0] and "128,512" in notes[0]
+    assert "float64" in notes[0] or "Mosaic" in notes[0]
+    # idempotent
+    mod.annotate(str(log))
+    again = [l for l in log.read_text().splitlines()
+             if l.startswith("# note:")]
+    assert again == notes
+    # notes never match the value-line selectors
+    for n in notes:
+        assert not ("nelmt" in n and "DOF/s" in n)
+        assert not ("Size" in n and "GB/s" in n)
