@@ -352,25 +352,6 @@ def prepare_f64_tier(data, c_coa_np, nm_tot, nq_tot, nelmt, e_pad, cfg):
         max(48 * 1024 * 1024 - 2 * c_sl.size * 2, 1 << 20))
 
 
-def coales_variant(*, epb, interpret=False):
-    """The f64 Coales-tier variant fn for the benchmark harnesses:
-    (in_coa f64, c_slices bf16, c_scale) -> out f64.  The element stream's
-    split is per-element work and runs inside the timed fn; the operator
-    arrives pre-split from prepare() (operators are untimed setup in every
-    variant).  Dispatched for dtype == float64, where Mosaic rejects the
-    direct kernels outright; documented tolerance ~1e-14 relative
-    (tests/test_ozaki.py) vs the 1e-10 cross-variant f64 rtol."""
-
-    def fn(in_coa, c_slices, c_scale):
-        w, _ = slice_params(in_coa.shape[0])
-        t = c_slices.shape[0]
-        xs, sx = split_f64(in_coa, w, t)
-        return kron_ozaki(xs, c_slices, sx, c_scale, epb=epb,
-                          interpret=interpret)
-
-    return fn
-
-
 def kron_coalesced_f64(in_coa, c_coa, *, epb, c_split=None, interpret=False,
                        precision=None):
     """Drop-in f64 Coales-tier variant: split the element stream (timed —
