@@ -34,7 +34,7 @@ def test_f64_cli_without_global_x64(bench, args, labels_mod):
         [sys.executable, "-m", f"tpu_bench.benchmarks.{bench}", *args,
          "--dtype", "f64", "--max-size", "128", "--ntests", "2",
          "--timing", "dispatch"],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = r.stdout.splitlines()
     case = next(l for l in lines if " Case: " in l)
