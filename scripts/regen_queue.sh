@@ -16,6 +16,8 @@
 # swept into a commit — ADVICE r4 #1).
 #
 # Usage: scripts/regen_queue.sh MANIFEST [note-for-commit-body]
+# ROW_TIMEOUT (seconds, default 7200) bounds each row; raise it for
+# rows whose XLA f64 columns alone exceed two hours (e.g. b05 nq=10^3).
 set -u
 HERE=$(dirname "$0")
 cd "$HERE/.."
@@ -57,7 +59,7 @@ while read -r BENCH NQ DTYPE EXTRA; do
     rm -f "$L.new"
     log "$BENCH nq=$NQ $DTYPE start"
     # shellcheck disable=SC2086  # ARGS/DFLAG/EXTRA are word lists
-    if { stamp; timeout 7200 python -m "tpu_bench.benchmarks.benchmark$NN" \
+    if { stamp; timeout "${ROW_TIMEOUT:-7200}" python -m "tpu_bench.benchmarks.benchmark$NN" \
             $ARGS $DFLAG $EXTRA 2>&1; } > "$L.new"; then
         mv "$L.new" "$L"
         log "$BENCH nq=$NQ $DTYPE landed"
