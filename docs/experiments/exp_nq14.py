@@ -68,6 +68,7 @@ def qp_w_stage(in_pcoa3, b0, b1tp, *, nq1, epb, interpret=False,
                precision=HIGHEST):
     b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))
     nm0, nm1, e = in_pcoa3.shape
+    assert e % epb == 0, f"nelmt {e} must divide by epb {epb}"
     nq0 = b0.shape[1]
     nq1p = b1tp.shape[0]
     return pl.pallas_call(
@@ -109,6 +110,7 @@ def qp_w_padded(in_pcoa3, b0, b1tp, *, epb, interpret=False,
     L2 norm is unchanged)."""
     b0 = b0.astype(common.acc_dtype(in_pcoa3.dtype))
     nm0, nm1, e = in_pcoa3.shape
+    assert e % epb == 0, f"nelmt {e} must divide by epb {epb}"
     nq0 = b0.shape[1]
     nq1p = b1tp.shape[0]
     return pl.pallas_call(
