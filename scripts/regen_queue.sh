@@ -26,6 +26,14 @@ NOTE=${2:-}
 
 log() { echo "[$(date +%H:%M:%S)] $*" >&2; }
 
+# Solo-chip handshake: register this queue's process group so bench.py
+# (the driver's headline measurement) can terminate it by EXACT pgid —
+# never by pattern — before timing.  Killing mid-row is safe by design:
+# an interrupted row leaves only a .new file that is never committed.
+PGID_FILE=/tmp/tpu_bench_queue.pgid
+ps -o pgid= -p $$ | tr -d ' ' > "$PGID_FILE"
+trap 'rm -f "$PGID_FILE"' EXIT
+
 log "waiting for the TPU relay"
 until timeout 90 python -c "import jax; jax.numpy.zeros(8).block_until_ready()" >/dev/null 2>&1; do
     log "TPU still down; retrying in 60s"
@@ -59,7 +67,11 @@ while read -r BENCH NQ DTYPE EXTRA; do
     rm -f "$L.new"
     log "$BENCH nq=$NQ $DTYPE start"
     # shellcheck disable=SC2086  # ARGS/DFLAG/EXTRA are word lists
-    if { stamp; timeout "${ROW_TIMEOUT:-7200}" python -m "tpu_bench.benchmarks.benchmark$NN" \
+    # --foreground keeps the row in THIS script's process group, so the
+    # solo-chip handshake (one killpg from bench.py) stops the queue AND
+    # the in-flight row; GNU timeout's default new-group behavior would
+    # orphan the row past any group kill.
+    if { stamp; timeout --foreground "${ROW_TIMEOUT:-7200}" python -m "tpu_bench.benchmarks.benchmark$NN" \
             $ARGS $DFLAG $EXTRA 2>&1; } > "$L.new"; then
         mv "$L.new" "$L"
         log "$BENCH nq=$NQ $DTYPE landed"
