@@ -233,3 +233,45 @@ def test_annotate_log_dead_columns(tmp_path):
     for n in notes:
         assert not ("nelmt" in n and "DOF/s" in n)
         assert not ("Size" in n and "GB/s" in n)
+
+
+def test_bench_solo_guard_never_kills_innocents(tmp_path, monkeypatch):
+    """bench._ensure_solo_chip signals ONLY a verified regen-queue group.
+
+    The headline harness kills the process group registered at
+    /tmp/tpu_bench_queue.pgid — but only after confirming the group's
+    command line really is regen_queue.sh, so a stale or recycled pgid
+    can never take down an unrelated process (scripts/regen_queue.sh's
+    solo-chip handshake).
+    """
+    import signal
+    import subprocess
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    pgid_file = tmp_path / "queue.pgid"
+    monkeypatch.setattr(bench, "_QUEUE_PGID_FILE", str(pgid_file))
+
+    # no registration file -> no-op
+    bench._ensure_solo_chip()
+
+    # a live process group that is NOT the queue must survive
+    victim = subprocess.Popen(
+        ["sleep", "30"], start_new_session=True)
+    try:
+        pgid_file.write_text(f"{victim.pid}\n")
+        bench._ensure_solo_chip()
+        assert victim.poll() is None, (
+            "guard killed a non-queue process group")
+    finally:
+        victim.send_signal(signal.SIGKILL)
+        victim.wait()
+
+    # garbage / non-integer registration -> no-op
+    pgid_file.write_text("not-a-pid\n")
+    bench._ensure_solo_chip()
